@@ -1,0 +1,167 @@
+"""Bin-based box encode/decode (jit-compatible, fixed shapes).
+
+Functional equivalents of /root/reference/lib/utils/bbox_transform.py:
+- decode_center_target:24-61     -> decode_center
+- decode_bbox_target_stage_2:64-179 -> decode_box_stage2
+- refine_box:298-303             -> refine_box
+- center_box2box / box2center_box:286-296 -> center_to_bottom / bottom_to_center
+
+All decoders take (..., C) regression tensors and vectorize over leading dims.
+"""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+
+def _gather_last(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """x (..., K), idx (...) -> (...) pick along last axis."""
+    return jnp.take_along_axis(x, idx[..., None], axis=-1)[..., 0]
+
+
+def decode_center(roi_center: jnp.ndarray, pred_reg: jnp.ndarray,
+                  loc_scope: float, loc_bin_size: float) -> jnp.ndarray:
+    """Per-point center vote decode (RPN).
+
+    :param roi_center: (..., 3) the point position
+    :param pred_reg: (..., per_loc_bin_num*4) logits/residuals
+    :return: (..., 3) voted center; y = 0.
+
+    Mirrors decode_center_target (bbox_transform.py:24-61): residual scale is
+    loc_bin_size/2 here (unlike the stage-2 fine decode which uses
+    loc_bin_size).
+    """
+    n = int(loc_scope / loc_bin_size) * 2
+    x_bin = jnp.argmax(pred_reg[..., 0:n], axis=-1)
+    z_bin = jnp.argmax(pred_reg[..., n:2 * n], axis=-1)
+    pos_x = x_bin.astype(pred_reg.dtype) * loc_bin_size + loc_bin_size / 2 - loc_scope
+    pos_z = z_bin.astype(pred_reg.dtype) * loc_bin_size + loc_bin_size / 2 - loc_scope
+    x_res = _gather_last(pred_reg[..., 2 * n:3 * n], x_bin) * (loc_bin_size / 2)
+    z_res = _gather_last(pred_reg[..., 3 * n:4 * n], z_bin) * (loc_bin_size / 2)
+    pos_x = pos_x + x_res + roi_center[..., 0]
+    pos_z = pos_z + z_res + roi_center[..., 2]
+    return jnp.stack([pos_x, jnp.zeros_like(pos_x), pos_z], axis=-1)
+
+
+def decode_box_stage2(roi_center: jnp.ndarray, pred_reg: jnp.ndarray,
+                      anchor_size: jnp.ndarray, loc_scope: float,
+                      loc_bin_size: float, num_head_bin: int,
+                      get_xz_fine: bool = False, get_ry_fine: bool = False,
+                      loc_y_scope: float = 0.5, loc_y_bin_size: float = 0.25,
+                      get_y_by_bin: bool = False) -> jnp.ndarray:
+    """Stage-2 7-DoF box decode -> (..., 7) [x, y, z, h, w, l, ry], bottom-y.
+
+    Mirrors decode_bbox_target_stage_2 (bbox_transform.py:64-179). With the
+    shipped weaklyRCNN.yaml, get_xz_fine=False: x/z come from the first
+    residual slot scaled by loc_scope; y is a raw offset; ry is a coarse
+    2pi/num_head_bin bin + residual; size is anchor-relative.
+    """
+    n = int(loc_scope / loc_bin_size) * 2
+    x_res_l = n * 2
+    z_res_l = n * 3
+    start = n * 4
+    dtype = pred_reg.dtype
+
+    if get_xz_fine:
+        x_bin = jnp.argmax(pred_reg[..., 0:n], axis=-1)
+        z_bin = jnp.argmax(pred_reg[..., n:2 * n], axis=-1)
+        pos_x = x_bin.astype(dtype) * loc_bin_size + loc_bin_size / 2 - loc_scope
+        pos_z = z_bin.astype(dtype) * loc_bin_size + loc_bin_size / 2 - loc_scope
+        pos_x = pos_x + _gather_last(pred_reg[..., x_res_l:x_res_l + n], x_bin) * loc_bin_size
+        pos_z = pos_z + _gather_last(pred_reg[..., z_res_l:z_res_l + n], z_bin) * loc_bin_size
+    else:
+        pos_x = pred_reg[..., x_res_l] * loc_scope
+        pos_z = pred_reg[..., z_res_l] * loc_scope
+
+    if get_y_by_bin:
+        ny = int(loc_y_scope / loc_y_bin_size) * 2
+        y_bin = jnp.argmax(pred_reg[..., start:start + ny], axis=-1)
+        y_res = _gather_last(pred_reg[..., start + ny:start + 2 * ny], y_bin) * loc_y_bin_size
+        pos_y = (y_bin.astype(dtype) * loc_y_bin_size + loc_y_bin_size / 2
+                 - loc_y_scope + y_res)
+        start = start + 2 * ny
+    else:
+        pos_y = pred_reg[..., start]
+        start = start + 1
+
+    ry_bin = jnp.argmax(pred_reg[..., start:start + num_head_bin], axis=-1)
+    ry_res_norm = _gather_last(
+        pred_reg[..., start + num_head_bin:start + 2 * num_head_bin], ry_bin)
+    if get_ry_fine:
+        per = math.pi / num_head_bin
+        ry = ry_bin.astype(dtype) * per + per / 2 + ry_res_norm * (per / 2)
+    else:
+        per = 2 * math.pi / num_head_bin
+        ry = (ry_bin.astype(dtype) * per + ry_res_norm * (per / 2)) % (2 * math.pi)
+        ry = jnp.where(ry > math.pi, ry - 2 * math.pi, ry)
+    start = start + 2 * num_head_bin
+
+    hwl = pred_reg[..., start:start + 3] * anchor_size + anchor_size
+
+    pos_x = pos_x + roi_center[..., 0]
+    pos_z = pos_z + roi_center[..., 2]
+    return jnp.concatenate([
+        pos_x[..., None], pos_y[..., None], pos_z[..., None], hwl, ry[..., None],
+    ], axis=-1)
+
+
+def refine_box(boxes: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+    """Relative refinement (bbox_transform.refine_box:298-303):
+    center += dims * ref[:3]; dims *= (1 + ref[3:6]); ry += ref[6]."""
+    center = boxes[..., 0:3] + boxes[..., 3:6] * ref[..., 0:3]
+    dims = boxes[..., 3:6] * (1.0 + ref[..., 3:6])
+    ry = boxes[..., 6:7] + ref[..., 6:7]
+    return jnp.concatenate([center, dims, ry], axis=-1)
+
+
+def center_to_bottom(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Center-y box -> bottom-y box; ry wrapped to [0, 2pi)
+    (center_box2box, bbox_transform.py:286-290)."""
+    y = boxes[..., 1:2] + boxes[..., 3:4] / 2
+    ry = boxes[..., 6:7] % (2 * math.pi)
+    return jnp.concatenate([boxes[..., 0:1], y, boxes[..., 2:3],
+                            boxes[..., 3:6], ry], axis=-1)
+
+
+def bottom_to_center(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Bottom-y box -> center-y box (box2center_box, bbox_transform.py:292-296)."""
+    y = boxes[..., 1:2] - boxes[..., 3:4] / 2
+    return jnp.concatenate([boxes[..., 0:1], y, boxes[..., 2:3],
+                            boxes[..., 3:7]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Encoders (training targets). The reference computes these inline in
+# loss_utils.get_rpn_reg_loss:88-148 / get_rcnn_reg_loss:151-338; factored out
+# here so losses and tests share one definition.
+# ---------------------------------------------------------------------------
+
+def encode_center_bins(offset: jnp.ndarray, loc_scope: float, loc_bin_size: float):
+    """Per-axis bin label + normalized residual for a center offset.
+
+    :param offset: (...) signed offset along one axis
+    :return: (bin_label int32, res_norm) with the same clamping as the
+        reference (loss_utils.py:115-131): shift into [0, 2*scope - 1e-3],
+        residual normalized by loc_bin_size/2.
+    """
+    shift = jnp.clip(offset + loc_scope, 0.0, loc_scope * 2 - 1e-3)
+    bin_label = jnp.floor(shift / loc_bin_size).astype(jnp.int32)
+    res = shift - (bin_label.astype(shift.dtype) * loc_bin_size + loc_bin_size / 2)
+    return bin_label, res / (loc_bin_size / 2)
+
+
+def encode_ry_bins(ry: jnp.ndarray, num_head_bin: int, fine: bool = False):
+    """Heading bin label + normalized residual (loss_utils.py:264-301)."""
+    if fine:
+        per = math.pi / num_head_bin
+        ang = jnp.clip(ry % math.pi, 1e-3, math.pi - 1e-3)
+        bin_label = jnp.floor(ang / per).astype(jnp.int32)
+        res = ang - (bin_label.astype(ry.dtype) * per + per / 2)
+    else:
+        per = 2 * math.pi / num_head_bin
+        heading = ry % (2 * math.pi)
+        shift = (heading + per / 2) % (2 * math.pi)
+        bin_label = jnp.floor(shift / per).astype(jnp.int32)
+        res = shift - (bin_label.astype(ry.dtype) * per + per / 2)
+    return bin_label, res / (per / 2)

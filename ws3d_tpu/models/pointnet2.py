@@ -1,0 +1,95 @@
+"""PointNet++ set-abstraction / feature-propagation modules (channel-last).
+
+TPU-native re-design of pointnet2_modules.py in the reference pointnet2_lib:
+the grouped tensors are (B, npoint, nsample, C) so every MLP layer is a Dense
+on the trailing axis (MXU matmul) and the max-pool is a VPU reduction over
+the nsample axis. Semantics (FPS seeding, ball-query padding, max-pool,
+use_xyz concat) match pointnet2_modules.py:19-156.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ws3d_tpu.models.layers import SharedMLP
+from ws3d_tpu.ops.grouping import group_all, query_and_group
+from ws3d_tpu.ops.interpolate import interpolate_features
+from ws3d_tpu.ops.sampling import furthest_point_sample, gather_points
+
+
+class PointnetSAModuleMSG(nn.Module):
+    """Multi-scale-grouping set abstraction.
+
+    npoint None => GroupAll (global pooling stage).
+    """
+    npoint: Optional[int]
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]   # per-scale hidden channels (without input)
+    use_xyz: bool = True
+    use_bn: bool = True
+    bq_chunk: int = 512
+
+    @nn.compact
+    def __call__(self, xyz: jnp.ndarray, features: Optional[jnp.ndarray],
+                 train: bool = False, bn_momentum=0.1):
+        """xyz (B, N, 3), features (B, N, C) or None ->
+        (new_xyz (B, npoint, 3) or None, new_features (B, npoint, sum(C_out)))."""
+        if self.npoint is not None:
+            idx = furthest_point_sample(xyz, self.npoint)
+            new_xyz = gather_points(xyz, idx)
+        else:
+            new_xyz = None
+
+        outs = []
+        for i in range(len(self.radii)):
+            if self.npoint is not None:
+                grouped = query_and_group(
+                    self.radii[i], self.nsamples[i], xyz, new_xyz, features,
+                    use_xyz=self.use_xyz, chunk=self.bq_chunk)
+            else:
+                grouped = group_all(xyz, features, use_xyz=self.use_xyz)
+            # (B, M, S, Cin) -> MLP -> max over S
+            h = SharedMLP(self.mlps[i], use_bn=self.use_bn,
+                          name=f"mlp_{i}")(grouped, train=train,
+                                           bn_momentum=bn_momentum)
+            outs.append(jnp.max(h, axis=2))
+        return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+class PointnetSAModule(PointnetSAModuleMSG):
+    """Single-scale set abstraction (PointnetSAModule in the reference)."""
+
+    @classmethod
+    def single(cls, npoint, radius, nsample, mlp, use_xyz=True, use_bn=True,
+               name=None, bq_chunk=512):
+        return cls(npoint=npoint, radii=[radius], nsamples=[nsample],
+                   mlps=[mlp], use_xyz=use_xyz, use_bn=use_bn, name=name,
+                   bq_chunk=bq_chunk)
+
+
+class PointnetFPModule(nn.Module):
+    """Feature propagation: 3-NN inverse-squared-distance interpolation +
+    skip concat + SharedMLP (pointnet2_modules.py:116-156)."""
+    mlp: Sequence[int]
+    use_bn: bool = True
+    nn_chunk: int = 2048
+
+    @nn.compact
+    def __call__(self, unknown: jnp.ndarray, known: Optional[jnp.ndarray],
+                 unknown_feats: Optional[jnp.ndarray],
+                 known_feats: jnp.ndarray, train: bool = False,
+                 bn_momentum=0.1) -> jnp.ndarray:
+        if known is not None:
+            interp = interpolate_features(unknown, known, known_feats,
+                                          chunk=self.nn_chunk)
+        else:
+            interp = jnp.broadcast_to(
+                known_feats, (known_feats.shape[0], unknown.shape[1],
+                              known_feats.shape[2]))
+        if unknown_feats is not None:
+            interp = jnp.concatenate([interp, unknown_feats], axis=-1)
+        return SharedMLP(self.mlp, use_bn=self.use_bn)(
+            interp, train=train, bn_momentum=bn_momentum)

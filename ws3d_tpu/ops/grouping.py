@@ -1,0 +1,113 @@
+"""Ball query + grouping (fixed shapes, chunked distance tiles).
+
+TPU-native equivalent of pointnet2's ball_query/group kernels
+(/root/reference/pointnet2_lib/pointnet2/src/ball_query_gpu.cu:9-67,
+group_points_gpu.cu:8-86). Semantics preserved exactly:
+
+- for each query center, the first ``nsample`` in-radius point indices *in
+  ascending index order* are taken (strict ``<`` radius test);
+- slots beyond the in-radius count are padded with the FIRST in-radius index;
+- centers with no in-radius point yield all-zero indices.
+
+Instead of a per-center sequential scan (the CUDA approach), we tile the
+(M, N) squared-distance matrix over M-chunks and use a top-k over masked
+index keys — MXU-friendly batched matmuls for the distance tiles, VPU for
+the top-k.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a (..., M, 3), b (..., N, 3) -> (..., M, N) squared distances.
+
+    Written as |a|^2 + |b|^2 - 2ab so the cross term is a batched matmul that
+    XLA places on the MXU.
+    """
+    a2 = jnp.sum(jnp.square(a), axis=-1, keepdims=True)           # (..., M, 1)
+    b2 = jnp.sum(jnp.square(b), axis=-1, keepdims=True)           # (..., N, 1)
+    cross = jnp.einsum("...mc,...nc->...mn", a, b,
+                       preferred_element_type=a.dtype)
+    return a2 - 2.0 * cross + jnp.swapaxes(b2, -1, -2)
+
+
+def _ball_query_chunk(new_xyz_c: jnp.ndarray, xyz: jnp.ndarray,
+                      radius: float, nsample: int) -> jnp.ndarray:
+    """new_xyz_c (B, Mc, 3), xyz (B, N, 3) -> (B, Mc, nsample) int32."""
+    N = xyz.shape[1]
+    d2 = _pairwise_sqdist(new_xyz_c, xyz)                          # (B, Mc, N)
+    in_ball = d2 < radius * radius
+    iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, len(d2.shape) - 1)
+    keys = jnp.where(in_ball, iota, N)                              # invalid -> N
+    # smallest nsample keys == first in-radius indices in ascending order
+    neg_top, _ = jax.lax.top_k(-keys, nsample)
+    idx = -neg_top                  # top-k of -keys, negated back => ascending
+    valid = idx < N
+    first = idx[..., 0:1]
+    idx = jnp.where(valid, idx, first)                              # pad w/ first
+    return jnp.where(first < N, idx, 0).astype(jnp.int32)           # empty -> 0
+
+
+def ball_query(radius: float, nsample: int, xyz: jnp.ndarray,
+               new_xyz: jnp.ndarray, chunk: int = 512) -> jnp.ndarray:
+    """:param xyz: (B, N, 3) all points
+    :param new_xyz: (B, M, 3) query centers
+    :return: (B, M, nsample) int32 indices into N
+    """
+    B, M, _ = new_xyz.shape
+    chunk = min(chunk, M)
+    if M % chunk != 0:
+        chunk = M  # fall back to a single tile for irregular sizes
+    n_chunks = M // chunk
+    if n_chunks == 1:
+        return _ball_query_chunk(new_xyz, xyz, radius, nsample)
+    chunks = new_xyz.reshape(B, n_chunks, chunk, 3).swapaxes(0, 1)
+    out = jax.lax.map(
+        functools.partial(_ball_query_chunk, xyz=xyz, radius=radius,
+                          nsample=nsample),
+        chunks,
+    )                                                                # (n, B, c, S)
+    return out.swapaxes(0, 1).reshape(B, M, nsample)
+
+
+def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """points (B, N, C), idx (B, M, S) -> (B, M, S, C)
+    (group_points_kernel_fast equivalent, channel-last)."""
+    return jax.vmap(lambda p, i: p[i])(points, idx)
+
+
+def query_and_group(radius: float, nsample: int, xyz: jnp.ndarray,
+                    new_xyz: jnp.ndarray, features: jnp.ndarray | None,
+                    use_xyz: bool = True, chunk: int = 512) -> jnp.ndarray:
+    """QueryAndGroup (pointnet2_utils.py:231-268) in channel-last layout.
+
+    :return: (B, M, nsample, 3+C) — center-relative xyz concat features.
+    """
+    idx = ball_query(radius, nsample, xyz, new_xyz, chunk=chunk)
+    grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+    if features is None:
+        assert use_xyz, "cannot have no features and not use xyz"
+        return grouped_xyz
+    grouped_feats = group_points(features, idx)
+    if use_xyz:
+        return jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+    return grouped_feats
+
+
+def group_all(xyz: jnp.ndarray, features: jnp.ndarray | None,
+              use_xyz: bool = True) -> jnp.ndarray:
+    """GroupAll (pointnet2_utils.py:271-290): one group holding all points.
+
+    :return: (B, 1, N, 3+C)
+    """
+    grouped_xyz = xyz[:, None, :, :]
+    if features is None:
+        return grouped_xyz
+    feats = features[:, None, :, :]
+    if use_xyz:
+        return jnp.concatenate([grouped_xyz, feats], axis=-1)
+    return feats

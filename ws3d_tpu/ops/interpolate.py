@@ -1,0 +1,56 @@
+"""three_nn / three_interpolate — feature propagation primitives.
+
+TPU-native equivalent of interpolate_gpu.cu:9-161 in the reference
+pointnet2_lib. three_nn returns SQUARED distances (the CUDA kernel stores
+`d = dx^2+dy^2+dz^2` directly — interpolate_gpu.cu:30-49), which matters for
+the FP weighting 1/(d2+1e-8). Chunked over the unknown axis to bound the
+distance-tile footprint; the cross term is an MXU matmul.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ws3d_tpu.ops.grouping import _pairwise_sqdist
+
+
+def _three_nn_chunk(unknown_c: jnp.ndarray, known: jnp.ndarray):
+    d2 = _pairwise_sqdist(unknown_c, known)               # (B, nc, m)
+    neg, idx = jax.lax.top_k(-d2, 3)
+    return -neg, idx.astype(jnp.int32)
+
+
+def three_nn(unknown: jnp.ndarray, known: jnp.ndarray, chunk: int = 2048):
+    """unknown (B, n, 3), known (B, m, 3) -> (dist2 (B, n, 3), idx (B, n, 3))."""
+    B, n, _ = unknown.shape
+    chunk = min(chunk, n)
+    if n % chunk != 0:
+        chunk = n
+    n_chunks = n // chunk
+    if n_chunks == 1:
+        return _three_nn_chunk(unknown, known)
+    chunks = unknown.reshape(B, n_chunks, chunk, 3).swapaxes(0, 1)
+    d2, idx = jax.lax.map(
+        functools.partial(_three_nn_chunk, known=known), chunks)
+    return (d2.swapaxes(0, 1).reshape(B, n, 3),
+            idx.swapaxes(0, 1).reshape(B, n, 3))
+
+
+def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
+                      weight: jnp.ndarray) -> jnp.ndarray:
+    """features (B, m, C), idx (B, n, 3), weight (B, n, 3) -> (B, n, C)
+    (three_interpolate_kernel_fast equivalent, channel-last)."""
+    gathered = jax.vmap(lambda f, i: f[i])(features, idx)  # (B, n, 3, C)
+    return jnp.sum(gathered * weight[..., None], axis=2)
+
+
+def interpolate_features(unknown: jnp.ndarray, known: jnp.ndarray,
+                         known_feats: jnp.ndarray, chunk: int = 2048) -> jnp.ndarray:
+    """Full FP interpolation step (pointnet2_modules.py:138-144):
+    inverse-squared-distance weighted 3-NN interpolation."""
+    d2, idx = three_nn(unknown, known, chunk=chunk)
+    recip = 1.0 / (d2 + 1e-8)
+    weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
+    return three_interpolate(known_feats, idx, weight)
