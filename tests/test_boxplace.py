@@ -1,0 +1,76 @@
+"""Tests for the stage-2 proposal-crop dataset."""
+import numpy as np
+
+from ws3d_tpu.config import load_config
+from ws3d_tpu.datasets.boxplace_dataset import (BoxPlaceDataset,
+                                                synthetic_proposal_database)
+
+
+def _cfg(ioun=False, cascade=1):
+    cfg = load_config()
+    cfg.RPN.ENABLED = False
+    cfg.RCNN.ENABLED = True
+    cfg.IOUN.ENABLED = ioun
+    cfg.CASCADE = cascade
+    return cfg
+
+
+def test_synthetic_database_layout():
+    db = synthetic_proposal_database(num=16, seed=3)
+    assert len(db) == 16
+    fg = [d for d in db if d["foreground_flag"]]
+    assert fg, "expected some foreground entries"
+    d = fg[0]
+    assert d["cur_box_point"].shape == (512, 3)
+    assert d["gt_boxes"].shape == (7,)
+    assert d["gt_boxes"][3] > 0
+    # mask marks car points positive
+    assert (d["gt_mask"] > 0).sum() > 10
+
+
+def test_boxplace_train_sample_shapes():
+    cfg = _cfg()
+    db = synthetic_proposal_database(num=8, seed=1)
+    ds = BoxPlaceDataset(db, cfg, mode="TRAIN", seed=0)
+    assert len(ds) == 8 * 4      # 4 augmented copies
+    s = ds.get_sample(0)
+    assert s["cur_box_point"].shape == (512, 3)
+    assert s["cur_box_reflect"].shape == (512, 1)
+    assert s["gt_boxes"].shape == (7,)
+    # ground shift applied: crop y should be near 0 now
+    assert abs(np.median(s["cur_box_point"][:, 1])) < 1.5
+
+
+def test_boxplace_eval_is_deterministic_geometry():
+    cfg = _cfg()
+    db = synthetic_proposal_database(num=4, seed=2, fg_ratio=1.0)
+    ds = BoxPlaceDataset(db, cfg, mode="EVAL", seed=0)
+    s = ds.get_sample(0)
+    # EVAL: no jitter — gt box y shifted by exactly -1.65
+    np.testing.assert_allclose(s["gt_boxes"][1],
+                               db[0]["gt_boxes"][1] - 1.65, atol=1e-5)
+    np.testing.assert_allclose(s["gt_boxes"][3:6], db[0]["gt_boxes"][3:6],
+                               atol=1e-5)
+
+
+def test_boxplace_background_gt_zeroed():
+    cfg = _cfg()
+    db = synthetic_proposal_database(num=20, seed=5, fg_ratio=0.0)
+    ds = BoxPlaceDataset(db, cfg, mode="TRAIN", seed=0)
+    s = ds.get_sample(0)
+    assert s["cls"] == 0.0
+    np.testing.assert_array_equal(s["gt_boxes"], np.zeros(7, np.float32))
+
+
+def test_boxplace_batches_with_ioun_noise():
+    cfg = _cfg(ioun=True, cascade=2)
+    db = synthetic_proposal_database(num=8, seed=4)
+    ds = BoxPlaceDataset(db, cfg, mode="TRAIN", seed=0)
+    batch = next(ds.batches(batch_size=4, steps=1))
+    assert batch["cur_box_point"].shape == (4, 512, 3)
+    assert batch["train_mask"].shape == (4, 512, 1)
+    assert batch["iou_trans"].shape == (4, 3, 2)
+    assert batch["iou_scale"].shape == (4, 3, 2)
+    assert batch["iou_ry"].shape == (4, 1, 2)
+    # jitter is damped by 0.5^(cascade-1)
+    assert np.abs(batch["iou_trans"]).max() < 1.0

@@ -1,0 +1,92 @@
+"""Tests for the data pipeline: synthetic scenes, weak labels, RPN batches."""
+import numpy as np
+
+from ws3d_tpu.config import load_config
+from ws3d_tpu.datasets import SyntheticKitti, RPNDataset
+from ws3d_tpu.datasets.rpn_dataset import (gaussian_weak_labels,
+                                           box_rpn_labels, sample_npoints,
+                                           augment_scene)
+
+
+def test_synthetic_scene_layout():
+    src = SyntheticKitti(num_scenes=4, seed=1)
+    scene = src.get_scene(0)
+    assert scene.pts_lidar.shape[1] == 4
+    assert len(scene.labels) >= 1
+    assert len(scene.noise_labels) == len(scene.labels)
+    # deterministic
+    scene2 = src.get_scene(0)
+    np.testing.assert_array_equal(scene.pts_lidar, scene2.pts_lidar)
+    # weak clicks near true centers
+    for o, n in zip(scene.labels, scene.noise_labels):
+        d = np.hypot(o.pos[0] - n.pos[0], o.pos[2] - n.pos[2])
+        assert d < 1.5
+
+
+def test_gaussian_weak_labels_peak_and_reg():
+    pts = np.array([[0.0, 0.8, 0.0], [0.5, 0.8, 0.0], [10.0, 0.8, 0.0]],
+                   np.float32)
+    centers = np.array([[0.0, 1.65, 0.0]], np.float32)
+    cls, reg = gaussian_weak_labels(pts, centers)
+    # point at the center (within the 0.7 m flat top) gets label 1
+    assert cls[0] > 0.99
+    assert cls[1] > 0.9          # still inside flat top (dist<0.7)
+    assert cls[2] < 1e-4         # 10 m away
+    # reg targets point toward the center for pts within 4 m
+    np.testing.assert_allclose(reg[1], [-0.5, 0.0, 0.0], atol=1e-5)
+    np.testing.assert_allclose(reg[2], [0.0, 0.0, 0.0], atol=1e-5)
+
+
+def test_box_rpn_labels_ignore_ring():
+    box = np.array([[0.0, 1.65, 10.0, 1.5, 1.6, 3.9, 0.0]], np.float32)
+    pts = np.array([
+        [0.0, 1.0, 10.0],       # inside
+        [0.0, 1.0, 10.85],      # inside ignore ring (w/2=0.8 < 0.85 < 1.0)
+        [0.0, 1.0, 14.0],       # outside
+    ], np.float32)
+    cls, reg = box_rpn_labels(pts, box)
+    assert cls[0] == 1
+    assert cls[1] == -1
+    assert cls[2] == 0
+    np.testing.assert_allclose(reg[0], [0.0, 0.0, 0.0], atol=1e-5)
+
+
+def test_sample_npoints_wraparound():
+    rng = np.random.RandomState(0)
+    depth = np.linspace(1, 70, 100).astype(np.float32)
+    # fewer points than requested -> repetition
+    c = sample_npoints(100, 256, depth, rng)
+    assert len(c) == 256
+    assert c.max() < 100
+    # more points than requested -> near priority
+    depth2 = np.concatenate([np.full(5000, 10.0), np.full(100, 50.0)])
+    c2 = sample_npoints(5100, 1024, depth2, rng)
+    assert len(c2) == 1024
+    assert (depth2[c2] >= 40).sum() == 100   # all far points kept
+
+
+def test_augment_scene_shapes():
+    rng = np.random.RandomState(3)
+    pts = rng.randn(100, 3).astype(np.float32)
+    boxes = rng.randn(4, 7).astype(np.float32)
+    p2, b2, methods = augment_scene(pts, boxes, rng)
+    assert p2.shape == pts.shape and b2.shape == boxes.shape
+    assert len(methods) >= 2     # rotation + scaling always on
+
+
+def test_rpn_dataset_batches():
+    cfg = load_config()
+    cfg.RPN.NUM_POINTS = 512
+    src = SyntheticKitti(num_scenes=6, points_per_scene=3000, seed=2)
+    ds = RPNDataset(src, cfg, mode="TRAIN", npoints=512)
+    batch = next(ds.batches(batch_size=2, steps=1))
+    assert batch["pts_input"].shape == (2, 512, 4)
+    assert batch["rpn_cls_label"].shape == (2, 512)
+    assert batch["rpn_reg_label"].shape == (2, 512, 3)
+    assert batch["gt_centers"].shape == (2, 32, 3)
+    assert batch["rpn_cls_label"].max() <= 1.0
+    assert batch["rpn_cls_label"].max() > 0.5   # cars present => fg labels
+    # EVAL mode labels are hard {-1, 0, 1}
+    ds_eval = RPNDataset(src, cfg, mode="EVAL", npoints=512)
+    s = ds_eval.get_sample(0)
+    assert set(np.unique(s["rpn_cls_label"])).issubset({-1.0, 0.0, 1.0})

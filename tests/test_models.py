@@ -1,0 +1,113 @@
+"""Shape/jit tests for the model layer (RPN, RCNN+IOUN, facade)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ws3d_tpu.config import load_config
+from ws3d_tpu.models import build_model, init_model
+
+
+def tiny_rpn_cfg():
+    cfg = load_config()
+    cfg.RPN.NUM_POINTS = 128
+    cfg.RPN.SA_CONFIG.NPOINTS = [32, 16, 8, 4]
+    return cfg
+
+
+def tiny_rcnn_cfg(ioun=False, cascade=1):
+    cfg = load_config()
+    cfg.RPN.ENABLED = False
+    cfg.RCNN.ENABLED = True
+    cfg.IOUN.ENABLED = ioun
+    cfg.CASCADE = cascade
+    cfg.RCNN.NUM_POINTS = 64
+    cfg.RCNN.SA_CONFIG.NPOINTS = [32, 16, 8, -1]
+    cfg.IOUN.SA_CONFIG.NPOINTS = [32, 16, 8, -1]
+    return cfg
+
+
+def test_rpn_forward_shapes(rng):
+    cfg = tiny_rpn_cfg()
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(0))
+    batch = {"pts_input": jnp.asarray(rng.randn(2, 128, 4), jnp.float32)}
+    out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    assert out["rpn_cls"].shape == (2, 128, 1)
+    assert out["rpn_reg"].shape == (2, 128, 40)
+    assert out["backbone_xyz"].shape == (2, 128, 3)
+    assert out["backbone_features"].shape == (2, 128, 128)
+    assert np.all(np.isfinite(np.asarray(out["rpn_cls"])))
+
+
+def test_rpn_cls_bias_prior():
+    # focal-init: with zero input, sigmoid(cls logits) should be near 0.01
+    cfg = tiny_rpn_cfg()
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(0))
+    bias = variables["params"]["rpn"]["cls_head"]["Dense_1"]["bias"]
+    np.testing.assert_allclose(jax.nn.sigmoid(bias), 0.01, rtol=1e-5)
+
+
+def test_rcnn_forward_shapes(rng):
+    cfg = tiny_rcnn_cfg()
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(1))
+    batch = {
+        "cur_box_point": jnp.asarray(rng.randn(3, 64, 3), jnp.float32),
+        "cur_box_reflect": jnp.asarray(rng.rand(3, 64, 1), jnp.float32),
+        "train_mask": jnp.ones((3, 64, 1), jnp.float32),
+    }
+    out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    assert out["rcnn_cls"].shape == (3,)
+    assert out["rcnn_reg"].shape == (3, 52)
+    assert out["pred_boxes3d"].shape == (3, 7)
+    # decoded sizes must be near the anchor for near-zero reg output
+    hwl = np.asarray(out["pred_boxes3d"][:, 3:6])
+    np.testing.assert_allclose(hwl, np.tile(cfg.CLS_MEAN_SIZE[0], (3, 1)),
+                               atol=0.5)
+
+
+@pytest.mark.parametrize("cascade", [1, 2])
+def test_ioun_cascade(rng, cascade):
+    cfg = tiny_rcnn_cfg(ioun=True, cascade=cascade)
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(2))
+    batch = {
+        "cur_box_point": jnp.asarray(rng.randn(2, 64, 3), jnp.float32),
+        "cur_box_reflect": jnp.asarray(rng.rand(2, 64, 1), jnp.float32),
+        "train_mask": jnp.ones((2, 64, 1), jnp.float32),
+    }
+    out = model.apply(variables, batch, train=False)
+    for key, shape in [("rcnn_iou", (2,)), ("ioun_cls", (2,)),
+                       ("rcnn_ref", (2, 7)), ("refined_box", (2, 7)),
+                       ("pred_boxes3d", (2, 7))]:
+        assert out[key].shape == shape, key
+    # cascade params exist per stage
+    params = variables["params"]["rcnn"]
+    for c in range(cascade):
+        assert f"sa_score_{c}" in params
+        assert f"iou_head_{c}" in params
+
+
+def test_ioun_train_noise(rng):
+    cfg = tiny_rcnn_cfg(ioun=True)
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(3))
+    base = {
+        "cur_box_point": jnp.asarray(rng.randn(2, 64, 3), jnp.float32),
+        "cur_box_reflect": jnp.asarray(rng.rand(2, 64, 1), jnp.float32),
+        "train_mask": jnp.ones((2, 64, 1), jnp.float32),
+    }
+    noisy = dict(base)
+    noisy["iou_trans"] = jnp.ones((2, 3, 1)) * 0.3
+    noisy["iou_scale"] = jnp.ones((2, 3, 1)) * 1.1
+    noisy["iou_ry"] = jnp.ones((2, 1, 1)) * 0.2
+    out0 = model.apply(variables, base, train=False)
+    out1 = model.apply(variables, noisy, train=False)
+    # the jitter shifts the canonical frame => different iou features
+    assert not np.allclose(np.asarray(out0["rcnn_iou"]),
+                           np.asarray(out1["rcnn_iou"]))
+    # but the first-stage RCNN outputs are unaffected
+    np.testing.assert_allclose(np.asarray(out0["rcnn_reg"]),
+                               np.asarray(out1["rcnn_reg"]), rtol=1e-6)

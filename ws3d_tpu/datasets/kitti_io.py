@@ -1,0 +1,247 @@
+"""KITTI raw-file IO: calibration, label parsing, velodyne loading.
+
+Host-side NumPy equivalents of /root/reference/lib/utils/calibration.py,
+object3d.py and lib/datasets/kitti_dataset.py:10-82 — same matrix conventions
+(P2/R0/Tr_velo2cam, rect camera coords: x right, y down, z forward) and the
+same KITTI label line format, re-organized around a stateless `KittiScene`
+record instead of a torch Dataset.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+CLASS_IDS = {"Car": 1, "Pedestrian": 2, "Cyclist": 3, "Van": 4}
+
+
+def cls_type_to_id(cls_type: str) -> int:
+    return CLASS_IDS.get(cls_type, -1)
+
+
+class Calibration:
+    """KITTI calibration (calibration.py:24-141): lidar->rect and rect->image
+    projections."""
+
+    def __init__(self, P2: np.ndarray, R0: np.ndarray, V2C: np.ndarray):
+        self.P2 = P2.astype(np.float32)          # (3, 4)
+        self.R0 = R0.astype(np.float32)          # (3, 3)
+        self.V2C = V2C.astype(np.float32)        # (3, 4)
+        self.cu, self.cv = self.P2[0, 2], self.P2[1, 2]
+        self.fu, self.fv = self.P2[0, 0], self.P2[1, 1]
+        self.tx = self.P2[0, 3] / (-self.fu)
+        self.ty = self.P2[1, 3] / (-self.fv)
+
+    @classmethod
+    def from_file(cls, path: str) -> "Calibration":
+        with open(path) as f:
+            lines = f.readlines()
+        vals = {}
+        for line in lines:
+            if ":" in line:
+                key, _, rest = line.partition(":")
+                vals[key.strip()] = np.array(rest.split(), dtype=np.float32)
+        return cls(vals["P2"].reshape(3, 4),
+                   vals["R0_rect"].reshape(3, 3) if "R0_rect" in vals
+                   else vals["R0"].reshape(3, 3),
+                   vals["Tr_velo_to_cam"].reshape(3, 4) if "Tr_velo_to_cam" in vals
+                   else vals["Tr_velo2cam"].reshape(3, 4))
+
+    @classmethod
+    def identity(cls, fu: float = 700.0, cu: float = 600.0,
+                 cv: float = 180.0) -> "Calibration":
+        """A synthetic camera for tests/fixtures: rect == lidar frame."""
+        P2 = np.array([[fu, 0, cu, 0], [0, fu, cv, 0], [0, 0, 1, 0]],
+                      np.float32)
+        return cls(P2, np.eye(3, dtype=np.float32),
+                   np.hstack([np.eye(3), np.zeros((3, 1))]).astype(np.float32))
+
+    @staticmethod
+    def _hom(pts: np.ndarray) -> np.ndarray:
+        return np.hstack((pts, np.ones((pts.shape[0], 1), dtype=np.float32)))
+
+    def lidar_to_rect(self, pts_lidar: np.ndarray) -> np.ndarray:
+        return self._hom(pts_lidar) @ (self.V2C.T @ self.R0.T)
+
+    def rect_to_img(self, pts_rect: np.ndarray):
+        hom = self._hom(pts_rect) @ self.P2.T
+        img = hom[:, 0:2] / hom[:, 2:3]
+        depth = hom[:, 2] - self.P2.T[3, 2]
+        return img, depth
+
+    def lidar_to_img(self, pts_lidar: np.ndarray):
+        return self.rect_to_img(self.lidar_to_rect(pts_lidar))
+
+    def img_to_rect(self, u: np.ndarray, v: np.ndarray,
+                    depth_rect: np.ndarray) -> np.ndarray:
+        x = ((u - self.cu) * depth_rect) / self.fu + self.tx
+        y = ((v - self.cv) * depth_rect) / self.fv + self.ty
+        return np.stack([x, y, depth_rect], axis=1).astype(np.float32)
+
+    def corners3d_to_img_boxes(self, corners3d: np.ndarray):
+        """(N, 8, 3) rect corners -> ((N, 4) [x1 y1 x2 y2], (N, 8, 2))."""
+        n = corners3d.shape[0]
+        hom = np.concatenate([corners3d, np.ones((n, 8, 1))], axis=2)
+        pts = hom @ self.P2.T
+        x = pts[:, :, 0] / pts[:, :, 2]
+        y = pts[:, :, 1] / pts[:, :, 2]
+        boxes = np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], axis=1)
+        return boxes, np.stack([x, y], axis=2)
+
+
+@dataclass
+class Object3d:
+    """One KITTI label line (object3d.py:11-102)."""
+    cls_type: str
+    trucation: float
+    occlusion: float
+    alpha: float
+    box2d: np.ndarray            # (4,) x1 y1 x2 y2
+    h: float
+    w: float
+    l: float
+    pos: np.ndarray              # (3,) rect coords, bottom-center
+    ry: float
+    score: float = -1.0
+
+    @property
+    def cls_id(self) -> int:
+        return cls_type_to_id(self.cls_type)
+
+    @property
+    def level(self) -> int:
+        """KITTI difficulty: 1 easy / 2 moderate / 3 hard / 4 unknown
+        (object3d.py:31-45)."""
+        height = float(self.box2d[3]) - float(self.box2d[1]) + 1
+        if height >= 40 and self.trucation <= 0.15 and self.occlusion <= 0:
+            return 1
+        if height >= 25 and self.trucation <= 0.3 and self.occlusion <= 1:
+            return 2
+        if height >= 25 and self.trucation <= 0.5 and self.occlusion <= 2:
+            return 3
+        return 4
+
+    @classmethod
+    def from_line(cls, line: str) -> "Object3d":
+        lab = line.strip().split(" ")
+        return cls(cls_type=lab[0], trucation=float(lab[1]),
+                   occlusion=float(lab[2]), alpha=float(lab[3]),
+                   box2d=np.array(lab[4:8], dtype=np.float32),
+                   h=float(lab[8]), w=float(lab[9]), l=float(lab[10]),
+                   pos=np.array(lab[11:14], dtype=np.float32),
+                   ry=float(lab[14]),
+                   score=float(lab[15]) if len(lab) == 16 else -1.0)
+
+    def to_box3d(self) -> np.ndarray:
+        """-> (7,) [x, y, z, h, w, l, ry] bottom-y
+        (kitti_utils.objs_to_boxes3d)."""
+        return np.array([*self.pos, self.h, self.w, self.l, self.ry],
+                        dtype=np.float32)
+
+    def to_kitti_line(self) -> str:
+        vals = (self.cls_type, self.trucation, int(self.occlusion), self.alpha,
+                *self.box2d, self.h, self.w, self.l, *self.pos, self.ry)
+        s = ("%s %.2f %d %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f "
+             "%.2f %.2f") % vals
+        if self.score >= 0:
+            s += " %.4f" % self.score
+        return s
+
+
+def get_objects_from_label(path: str) -> List[Object3d]:
+    with open(path) as f:
+        return [Object3d.from_line(line) for line in f if line.strip()]
+
+
+def objs_to_boxes3d(objs: List[Object3d]) -> np.ndarray:
+    if not objs:
+        return np.zeros((0, 7), dtype=np.float32)
+    return np.stack([o.to_box3d() for o in objs])
+
+
+@dataclass
+class KittiScene:
+    """Everything loaded for one frame."""
+    sample_id: int
+    pts_lidar: np.ndarray                      # (N, 4) x y z intensity
+    calib: Calibration
+    image_shape: tuple                         # (H, W)
+    labels: List[Object3d] = field(default_factory=list)
+    noise_labels: List[Object3d] = field(default_factory=list)  # weak clicks
+
+    @property
+    def pts_rect(self) -> np.ndarray:
+        return self.calib.lidar_to_rect(self.pts_lidar[:, 0:3])
+
+    @property
+    def pts_intensity(self) -> np.ndarray:
+        return self.pts_lidar[:, 3]
+
+
+class KittiRaw:
+    """Filesystem reader for a KITTI object split
+    (lib/datasets/kitti_dataset.py:10-82 layout):
+    root/object/{training,testing}/{velodyne,calib,label_2,<noise_dir>,image_2}.
+    """
+
+    def __init__(self, root_dir: str, split: str = "train",
+                 noise_dir: Optional[str] = "label_noise"):
+        self.split = split
+        is_test = split == "test"
+        self.imageset_dir = os.path.join(root_dir, "object",
+                                         "testing" if is_test else "training")
+        split_file = os.path.join(root_dir, "ImageSets", split + ".txt")
+        if os.path.exists(split_file):
+            with open(split_file) as f:
+                self.sample_ids = [int(x) for x in f.read().splitlines() if x]
+        else:
+            self.sample_ids = []
+        self.noise_dir = noise_dir
+
+    def _path(self, sub: str, sample_id: int, ext: str) -> str:
+        return os.path.join(self.imageset_dir, sub, "%06d%s" % (sample_id, ext))
+
+    def get_lidar(self, sample_id: int) -> np.ndarray:
+        return np.fromfile(self._path("velodyne", sample_id, ".bin"),
+                           dtype=np.float32).reshape(-1, 4)
+
+    def get_calib(self, sample_id: int) -> Calibration:
+        return Calibration.from_file(self._path("calib", sample_id, ".txt"))
+
+    def get_label(self, sample_id: int) -> List[Object3d]:
+        return get_objects_from_label(self._path("label_2", sample_id, ".txt"))
+
+    def get_noise_label(self, sample_id: int) -> List[Object3d]:
+        assert self.noise_dir
+        return get_objects_from_label(
+            self._path(self.noise_dir, sample_id, ".txt"))
+
+    def get_image_shape(self, sample_id: int) -> tuple:
+        path = self._path("image_2", sample_id, ".png")
+        if os.path.exists(path):
+            try:
+                from PIL import Image
+                with Image.open(path) as im:
+                    w, h = im.size
+                return h, w
+            except ImportError:
+                pass
+        return (375, 1242)   # canonical KITTI size fallback
+
+    def get_scene(self, sample_id: int, with_noise: bool = False) -> KittiScene:
+        labels = []
+        label_path = self._path("label_2", sample_id, ".txt")
+        if os.path.exists(label_path):
+            labels = get_objects_from_label(label_path)
+        noise = []
+        if with_noise and self.noise_dir:
+            npath = self._path(self.noise_dir, sample_id, ".txt")
+            if os.path.exists(npath):
+                noise = get_objects_from_label(npath)
+        return KittiScene(sample_id=sample_id,
+                          pts_lidar=self.get_lidar(sample_id),
+                          calib=self.get_calib(sample_id),
+                          image_shape=self.get_image_shape(sample_id),
+                          labels=labels, noise_labels=noise)

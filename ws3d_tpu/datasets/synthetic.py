@@ -1,0 +1,110 @@
+"""Synthetic KITTI-like scene generator.
+
+The image ships no KITTI data, so every training/eval flow (and the bench)
+can run on procedurally generated scenes with the same record layout the
+real loader produces: ground-plane + car-shaped point clusters in rect
+coordinates (x right, y down, z forward; ground at y≈1.65), KITTI-convention
+boxes, weak BEV-click labels with jitter. This replaces nothing in the
+reference (it has no synthetic path) — it is the test fixture layer SURVEY.md
+§4 calls for.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ws3d_tpu.datasets.kitti_io import Calibration, KittiScene, Object3d
+
+GROUND_Y = 1.65
+CAR_MEAN_HWL = np.array([1.53, 1.63, 3.88], np.float32)
+
+
+def _car_surface_points(rng: np.random.RandomState, box: np.ndarray,
+                        n: int) -> np.ndarray:
+    """Sample points on the visible surfaces of a car box (7,) bottom-y."""
+    x, y, z, h, w, l, ry = box
+    # sample on a box shell: pick faces weighted by area
+    u = rng.rand(n)
+    pts = np.empty((n, 3), np.float32)
+    # local frame: x in [-l/2, l/2], y in [-h, 0], z in [-w/2, w/2]
+    lx = rng.uniform(-l / 2, l / 2, n)
+    lyy = rng.uniform(-h, 0, n)
+    lz = rng.uniform(-w / 2, w / 2, n)
+    face = rng.randint(0, 5, n)   # 4 sides + roof
+    lx = np.where(face == 0, -l / 2, np.where(face == 1, l / 2, lx))
+    lz = np.where(face == 2, -w / 2, np.where(face == 3, w / 2, lz))
+    lyy = np.where(face == 4, -h, lyy)
+    c, s = np.cos(ry), np.sin(ry)
+    pts[:, 0] = c * lx + s * lz + x
+    pts[:, 1] = lyy + y
+    pts[:, 2] = -s * lx + c * lz + z
+    pts += rng.randn(n, 3).astype(np.float32) * 0.02
+    return pts
+
+
+class SyntheticKitti:
+    """Deterministic synthetic scene source: `get_scene(i)` mirrors
+    KittiRaw.get_scene."""
+
+    def __init__(self, num_scenes: int = 64, max_cars: int = 6,
+                 points_per_scene: int = 18000, seed: int = 0,
+                 click_noise: float = 0.2):
+        self.num_scenes = num_scenes
+        self.max_cars = max_cars
+        self.points_per_scene = points_per_scene
+        self.seed = seed
+        self.click_noise = click_noise
+        self.sample_ids = list(range(num_scenes))
+
+    def get_scene(self, sample_id: int, with_noise: bool = True) -> KittiScene:
+        rng = np.random.RandomState(self.seed * 100003 + sample_id)
+        n_cars = rng.randint(1, self.max_cars + 1)
+        boxes = []
+        for _ in range(n_cars):
+            hwl = CAR_MEAN_HWL * (1 + rng.randn(3) * 0.05)
+            x = rng.uniform(-20, 20)
+            z = rng.uniform(8, 60)
+            ry = rng.uniform(-np.pi, np.pi)
+            boxes.append(np.array([x, GROUND_Y, z, *hwl, ry], np.float32))
+
+        n_bg = self.points_per_scene - 300 * n_cars
+        ground = np.empty((max(n_bg, 0), 3), np.float32)
+        ground[:, 0] = rng.uniform(-40, 40, ground.shape[0])
+        ground[:, 2] = rng.uniform(0.5, 70, ground.shape[0])
+        ground[:, 1] = GROUND_Y + rng.randn(ground.shape[0]) * 0.05
+        # sprinkle some clutter poles/walls
+        n_clutter = ground.shape[0] // 20
+        ground[:n_clutter, 1] = GROUND_Y - rng.rand(n_clutter) * 2.5
+
+        pieces = [ground] + [_car_surface_points(rng, b, 300) for b in boxes]
+        pts_rect = np.concatenate(pieces, axis=0)
+        intensity = rng.rand(pts_rect.shape[0], 1).astype(np.float32)
+        pts_lidar = np.hstack([pts_rect, intensity]).astype(np.float32)
+
+        labels: List[Object3d] = []
+        noise_labels: List[Object3d] = []
+        calib = Calibration.identity()
+        for b in boxes:
+            from ws3d_tpu.ops.boxes import boxes3d_to_corners3d
+            import numpy as _np
+            corners = _np.asarray(boxes3d_to_corners3d(b[None]))[0]
+            img_boxes, _ = calib.corners3d_to_img_boxes(corners[None])
+            box2d = img_boxes[0].astype(np.float32)
+            obj = Object3d(cls_type="Car", trucation=0.0, occlusion=0.0,
+                           alpha=-np.arctan2(b[0], b[2]) + b[6],
+                           box2d=box2d, h=b[3], w=b[4], l=b[5],
+                           pos=b[0:3].copy(), ry=b[6])
+            labels.append(obj)
+            nb = b.copy()
+            nb[0] += rng.randn() * self.click_noise
+            nb[2] += rng.randn() * self.click_noise
+            noise_labels.append(Object3d(
+                cls_type="Car", trucation=0.0, occlusion=0.0, alpha=obj.alpha,
+                box2d=box2d, h=b[3], w=b[4], l=b[5], pos=nb[0:3].copy(),
+                ry=b[6]))
+
+        return KittiScene(sample_id=sample_id, pts_lidar=pts_lidar,
+                          calib=calib, image_shape=(375, 1242),
+                          labels=labels,
+                          noise_labels=noise_labels if with_noise else [])

@@ -1,4 +1,4 @@
-from ws3d_tpu.models.detector import PointRCNN
-from ws3d_tpu.models.rpn import RPN
-from ws3d_tpu.models.rcnn import RCNNNet
+from ws3d_tpu.models.detector import PointRCNN, build_model, init_model
+from ws3d_tpu.models.rpn import RPN, rpn_from_config
+from ws3d_tpu.models.rcnn import RCNNNet, rcnn_from_config
 from ws3d_tpu.models.backbone import Pointnet2MSG

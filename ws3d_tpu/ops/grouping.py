@@ -44,8 +44,13 @@ def _ball_query_chunk(new_xyz_c: jnp.ndarray, xyz: jnp.ndarray,
     iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, len(d2.shape) - 1)
     keys = jnp.where(in_ball, iota, N)                              # invalid -> N
     # smallest nsample keys == first in-radius indices in ascending order
-    neg_top, _ = jax.lax.top_k(-keys, nsample)
+    kk = min(nsample, N)
+    neg_top, _ = jax.lax.top_k(-keys, kk)
     idx = -neg_top                  # top-k of -keys, negated back => ascending
+    if kk < nsample:                # tiny-N configs: extra slots -> first idx
+        idx = jnp.concatenate(
+            [idx, jnp.broadcast_to(idx[..., 0:1],
+                                   idx.shape[:-1] + (nsample - kk,))], axis=-1)
     valid = idx < N
     first = idx[..., 0:1]
     idx = jnp.where(valid, idx, first)                              # pad w/ first
