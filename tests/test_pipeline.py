@@ -1,0 +1,115 @@
+"""Tests for the batched two-stage inference pipeline."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ws3d_tpu.box_codec import encode_center_bins
+from ws3d_tpu.config import load_config
+from ws3d_tpu.models import build_model, init_model
+from ws3d_tpu.pipeline import (rpn_propose, crop_for_rcnn,
+                               finalize_detections, make_two_stage_fn)
+
+
+def _perfect_rpn_outputs(pts, centers, loc_scope=4.0, loc_bin_size=0.8):
+    """Construct rpn_cls/rpn_reg that vote exactly for the given centers."""
+    N = pts.shape[0]
+    n = int(loc_scope / loc_bin_size) * 2
+    cls = np.full((N, 1), -10.0, np.float32)
+    reg = np.zeros((N, 4 * n), np.float32)
+    d = np.sqrt((pts[:, None, 0] - centers[None, :, 0]) ** 2
+                + (pts[:, None, 2] - centers[None, :, 1]) ** 2)
+    near = d.min(1) < 2.0
+    tgt = centers[d.argmin(1)]
+    cls[near, 0] = 10.0
+    dx = tgt[:, 0] - pts[:, 0]
+    dz = tgt[:, 1] - pts[:, 2]
+    for axis_off, lo in ((dx, 0), (dz, n)):
+        b, r = encode_center_bins(jnp.asarray(axis_off), loc_scope, loc_bin_size)
+        b, r = np.asarray(b), np.asarray(r)
+        reg[np.arange(N), lo + b] = 50.0
+        reg[np.arange(N), 2 * n + lo + b] = r
+    return jnp.asarray(cls), jnp.asarray(reg)
+
+
+def test_rpn_propose_recovers_centers(rng):
+    pts = rng.uniform(-20, 20, (1024, 3)).astype(np.float32)
+    pts[:, 1] = 1.0
+    pts[:, 2] = np.abs(pts[:, 2]) + 5
+    centers = np.array([[5.0, 10.0], [-8.0, 20.0]], np.float32)
+    cls, reg = _perfect_rpn_outputs(pts, centers)
+    got_centers, scores, valid = rpn_propose(
+        cls, reg, jnp.asarray(pts), 4.0, 0.8, pre_nms_top=256,
+        max_proposals=8)
+    got = np.asarray(got_centers)[np.asarray(valid)]
+    assert got.shape[0] == 2
+    d = np.sqrt(((got[:, None] - centers[None]) ** 2).sum(-1)).min(1)
+    assert d.max() < 0.45   # within residual quantization + vote-dist gate
+
+
+def test_crop_for_rcnn_semantics(rng):
+    pts = np.zeros((100, 4), np.float32)
+    pts[:, 0] = np.linspace(-10, 10, 100)
+    pts[:, 1] = 1.65
+    pts[:, 2] = 10.0
+    pts[:, 3] = 0.7
+    centers = jnp.asarray([[0.0, 10.0]], jnp.float32)
+    scores = jnp.asarray(np.linspace(0, 1, 100), jnp.float32)
+    crops, empty = crop_for_rcnn(jnp.asarray(pts), scores, centers,
+                                 num_sampled=64)
+    assert not bool(empty[0])
+    xyz = np.asarray(crops["cur_box_point"][0])
+    # recentered: in-radius points have |x| < 4 after recentering
+    assert np.abs(xyz[:, 0]).max() <= 4.0 + 1e-5
+    # ground shift applied
+    np.testing.assert_allclose(xyz[:, 1], 0.0, atol=1e-5)
+    # mask channel is +-0.5
+    m = np.asarray(crops["train_mask"][0])
+    assert set(np.round(np.unique(m), 2)).issubset({-0.5, 0.5})
+
+
+def test_finalize_detections_gates_and_nms():
+    K = 8
+    boxes = np.zeros((K, 7), np.float32)
+    boxes[:, 3:6] = [1.5, 1.6, 3.9]
+    boxes[0, 0:3] = [0, 0, 0]
+    boxes[1, 0:3] = [0.1, 0, 0.1]      # duplicate of box 0 -> NMS'd
+    boxes[2, 0:3] = [10, 0, 10]        # separate keep
+    boxes[3, 3] = 5.0                  # size-gated (h too big)
+    cls = np.full(K, 5.0, np.float32)
+    iou = np.array([0.9, 0.8, 0.7, 0.9, 0, 0, 0, 0], np.float32)
+    centers = np.zeros((K, 2), np.float32)
+    valid = np.array([1, 1, 1, 1, 0, 0, 0, 0], bool)
+    out, scores, keep = finalize_detections(
+        jnp.asarray(boxes), jnp.asarray(cls), jnp.asarray(iou),
+        jnp.asarray(centers), jnp.asarray(valid))
+    keep = np.asarray(keep)
+    assert keep[0] and keep[2]
+    assert not keep[1]      # suppressed duplicate
+    assert not keep[3]      # size gate
+    assert not keep[4:].any()
+    # y restored to scene frame
+    assert abs(float(out[0, 1]) - 1.65) < 1e-5
+
+
+def test_two_stage_fn_end_to_end(rng):
+    cfg = load_config()
+    cfg.RPN.NUM_POINTS = 256
+    cfg.RPN.SA_CONFIG.NPOINTS = [64, 32, 16, 8]
+    cfg.RCNN.ENABLED = True
+    cfg.IOUN.ENABLED = True
+    cfg.RCNN.SA_CONFIG.NPOINTS = [32, 16, 8, -1]
+    cfg.IOUN.SA_CONFIG.NPOINTS = [32, 16, 8, -1]
+    cfg.TPU.MAX_PROPOSALS = 8
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(0))
+    fn = jax.jit(make_two_stage_fn(model, cfg, num_points=64,
+                                   pre_nms_top=128))
+    pts = rng.randn(2, 256, 4).astype(np.float32)
+    pts[..., 2] += 20
+    out = fn(variables, jnp.asarray(pts))
+    assert out["boxes"].shape == (2, 8, 7)
+    assert out["scores"].shape == (2, 8)
+    assert out["keep"].shape == (2, 8)
+    assert np.all(np.isfinite(np.asarray(out["boxes"])))

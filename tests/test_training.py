@@ -1,0 +1,150 @@
+"""Tests: optimizer schedules, train steps actually learn, checkpoint
+roundtrip, IOUN freezing, data-parallel step on the 8-device CPU mesh."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ws3d_tpu.config import load_config
+from ws3d_tpu.datasets import SyntheticKitti, RPNDataset
+from ws3d_tpu.datasets.boxplace_dataset import (BoxPlaceDataset,
+                                                synthetic_proposal_database)
+from ws3d_tpu.models import build_model, init_model
+from ws3d_tpu.training import (onecycle_schedule, onecycle_momentum,
+                               create_train_state, Trainer,
+                               save_checkpoint, load_checkpoint,
+                               load_part_checkpoint)
+from ws3d_tpu.training.trainer import (make_rpn_train_step,
+                                       make_rcnn_train_step)
+
+
+def test_onecycle_shapes():
+    lr = onecycle_schedule(100, 0.002, div_factor=10.0, pct_start=0.4)
+    assert abs(float(lr(0)) - 0.0002) < 1e-8
+    assert abs(float(lr(40)) - 0.002) < 1e-5
+    assert float(lr(100)) < 1e-5
+    mom = onecycle_momentum(100)
+    assert abs(float(mom(0)) - 0.95) < 1e-6
+    assert abs(float(mom(40)) - 0.85) < 1e-3
+    assert abs(float(mom(100)) - 0.95) < 1e-6
+
+
+def _tiny_rpn_cfg():
+    cfg = load_config()
+    cfg.RPN.NUM_POINTS = 256
+    cfg.RPN.SA_CONFIG.NPOINTS = [64, 32, 16, 8]
+    cfg.TRAIN.BATCH_SIZE = 2
+    return cfg
+
+
+def test_rpn_train_step_decreases_loss():
+    cfg = _tiny_rpn_cfg()
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(0))
+    state = create_train_state(model, cfg, variables, total_steps=30,
+                               stage="rpn")
+    src = SyntheticKitti(num_scenes=4, points_per_scene=2000, seed=0)
+    ds = RPNDataset(src, cfg, mode="TRAIN", npoints=256)
+    step = jax.jit(make_rpn_train_step(model, cfg))
+    rng = jax.random.PRNGKey(1)
+    first = last = None
+    for i, batch in enumerate(ds.batches(batch_size=2, steps=25)):
+        rng, sub = jax.random.split(rng)
+        state, aux = step(state, batch, sub, jnp.float32(0.1))
+        if first is None:
+            first = float(aux["loss"])
+        last = float(aux["loss"])
+    assert np.isfinite(last)
+    assert last < first, f"loss did not decrease: {first} -> {last}"
+
+
+def _tiny_rcnn_cfg(ioun=False):
+    cfg = load_config()
+    cfg.RPN.ENABLED = False
+    cfg.RCNN.ENABLED = not ioun
+    cfg.IOUN.ENABLED = ioun
+    cfg.RCNN.NUM_POINTS = 128
+    cfg.RCNN.SA_CONFIG.NPOINTS = [32, 16, 8, -1]
+    cfg.IOUN.SA_CONFIG.NPOINTS = [32, 16, 8, -1]
+    return cfg
+
+
+def test_rcnn_train_step_runs():
+    cfg = _tiny_rcnn_cfg()
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(0))
+    state = create_train_state(model, cfg, variables, total_steps=10,
+                               stage="rcnn")
+    db = synthetic_proposal_database(num=8, seed=0, crop_points=128)
+    ds = BoxPlaceDataset(db, cfg, mode="TRAIN", npoints=128)
+    step = jax.jit(make_rcnn_train_step(model, cfg, stage="rcnn"))
+    rng = jax.random.PRNGKey(2)
+    batch = next(ds.batches(batch_size=4, steps=1))
+    state2, aux = step(state, batch, rng, jnp.float32(0.1))
+    assert np.isfinite(float(aux["loss"]))
+    # params changed
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                        state.params, state2.params)
+    assert max(jax.tree.leaves(diff)) > 0
+
+
+def test_ioun_stage_freezes_trunk():
+    cfg = _tiny_rcnn_cfg(ioun=True)
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(0))
+    state = create_train_state(model, cfg, variables, total_steps=10,
+                               stage="ioun")
+    db = synthetic_proposal_database(num=8, seed=1, crop_points=128)
+    ds = BoxPlaceDataset(db, cfg, mode="TRAIN", npoints=128)
+    step = jax.jit(make_rcnn_train_step(model, cfg, stage="ioun"))
+    batch = next(ds.batches(batch_size=4, steps=1))
+    state2, aux = step(state, batch, jax.random.PRNGKey(3), jnp.float32(0.1))
+    assert np.isfinite(float(aux["loss"]))
+    # trunk (sa_stack) unchanged, cascade heads updated
+    trunk_diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                              state.params["rcnn"]["sa_stack"],
+                              state2.params["rcnn"]["sa_stack"])
+    assert max(jax.tree.leaves(trunk_diff)) == 0.0
+    head_diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                             state.params["rcnn"]["iou_head_0"],
+                             state2.params["rcnn"]["iou_head_0"])
+    assert max(jax.tree.leaves(head_diff)) > 0.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = _tiny_rpn_cfg()
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(0))
+    state = create_train_state(model, cfg, variables, total_steps=10)
+    path = os.path.join(str(tmp_path), "ckpt")
+    save_checkpoint(path, state)
+    loaded = load_checkpoint(path)
+    assert int(loaded["step"]) == 0
+    got = jax.tree.leaves(loaded["params"])
+    want = jax.tree.leaves(jax.tree.map(np.asarray, state.params))
+    assert all(np.allclose(a, b) for a, b in zip(got, want))
+    # partial load grafts the rpn subtree into fresh variables
+    fresh = init_model(model, cfg, jax.random.PRNGKey(9))
+    merged = load_part_checkpoint(fresh, path, subtrees=("rpn",))
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(merged["params"]["rpn"])[0]),
+        np.asarray(jax.tree.leaves(loaded["params"]["rpn"])[0]))
+
+
+def test_data_parallel_trainer_on_cpu_mesh():
+    from ws3d_tpu.parallel import make_mesh
+    cfg = _tiny_rpn_cfg()
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(0))
+    state = create_train_state(model, cfg, variables, total_steps=4)
+    mesh = make_mesh()          # 8 virtual CPU devices from conftest
+    assert mesh.devices.size == 8
+    src = SyntheticKitti(num_scenes=8, points_per_scene=1500, seed=1)
+    ds = RPNDataset(src, cfg, mode="TRAIN", npoints=256)
+    tr = Trainer(model, cfg, state, stage="rpn", mesh=mesh,
+                 log_fn=lambda *a: None)
+    hist = tr.train_steps(ds.batches(batch_size=8, steps=2), total_steps=2,
+                          log_every=1)
+    assert len(hist) == 2
+    assert np.isfinite(hist[-1]["loss"])

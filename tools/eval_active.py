@@ -1,0 +1,120 @@
+"""Active (click-seeded) annotator eval.
+
+Equivalent of /root/reference/tools/eval_active.py:137-757: proposal centers
+come from the weak BEV click labels instead of the RPN; each click expands
+into a 5x5 grid of 0.1 m offsets (25 hypotheses, eval_active.py:203-209),
+all hypotheses run through the batched stage-2 net at once, then score
+threshold + greedy self-NMS + KITTI dump/AP as in eval_auto.
+
+Synthetic smoke run:
+    python tools/eval_active.py --synthetic --scenes 2
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from common import base_parser, setup, make_scene_source
+from eval_auto import save_kitti_format
+
+GRID = 5
+GRID_STEP = 0.1
+
+
+def expand_clicks(centers_xz: np.ndarray, max_slots: int) -> np.ndarray:
+    """(M, 2) clicks -> (max_slots, 2) 5x5-grid hypotheses + valid mask."""
+    offs = (np.arange(GRID) - GRID // 2) * GRID_STEP
+    grid = np.stack(np.meshgrid(offs, offs), -1).reshape(-1, 2)   # (25, 2)
+    hyp = (centers_xz[:, None, :] + grid[None]).reshape(-1, 2)
+    valid = np.ones(hyp.shape[0], bool)
+    if hyp.shape[0] < max_slots:
+        pad = np.zeros((max_slots - hyp.shape[0], 2), np.float32)
+        hyp = np.concatenate([hyp, pad])
+        valid = np.concatenate([valid, np.zeros(max_slots - valid.shape[0],
+                                                bool)])
+    return hyp[:max_slots].astype(np.float32), valid[:max_slots]
+
+
+def main():
+    p = base_parser("click-seeded annotator eval (stage-2 only)")
+    p.add_argument("--scenes", type=int, default=16)
+    p.add_argument("--max_hypotheses", type=int, default=128)
+    p.add_argument("--no_ap", action="store_true")
+    args = p.parse_args()
+    cfg, log = setup(args)
+    cfg.RCNN.ENABLED = True
+    cfg.IOUN.ENABLED = True
+
+    import jax
+    import jax.numpy as jnp
+    from ws3d_tpu.datasets.kitti_io import objs_to_boxes3d
+    from ws3d_tpu.eval import annos_from_objects, get_official_eval_result
+    from ws3d_tpu.eval.kitti_ap import anno_from_lines
+    from ws3d_tpu.models import build_model, init_model
+    from ws3d_tpu.pipeline.inference import (crop_for_rcnn,
+                                             finalize_detections)
+    from ws3d_tpu.training.checkpoint import load_part_checkpoint
+
+    src = make_scene_source(args, num_scenes=args.scenes)
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(args.seed))
+    if args.ckpt:
+        variables = load_part_checkpoint(variables, args.ckpt,
+                                         subtrees=("rcnn",))
+        log.info("loaded ckpt %s", args.ckpt)
+
+    K = args.max_hypotheses
+
+    @jax.jit
+    def infer(pts, scores_norm, centers, valid):
+        crops, empty = crop_for_rcnn(pts, scores_norm, centers)
+        out = model.apply(variables, crops, train=False,
+                          method=model.rcnn_forward)
+        boxes = out.get("refined_box", out["pred_boxes3d"]).reshape(K, 7)
+        iou = out.get("rcnn_iou", jax.nn.sigmoid(out["rcnn_cls"]))
+        return finalize_detections(boxes, out["rcnn_cls"], iou, centers,
+                                   valid & ~empty,
+                                   rcnn_thresh=cfg.RCNN.SCORE_THRESH,
+                                   iou_thresh=cfg.IOUN.SCORE_THRESH)
+
+    out_dir = os.path.join(args.output_dir, "final_result", "data")
+    gt_frames, dt_paths = [], []
+    for i in range(args.scenes):
+        scene = src.get_scene(src.sample_ids[i], with_noise=True)
+        clicks = objs_to_boxes3d(
+            [o for o in scene.noise_labels if o.cls_type in ("Car", "Van")])
+        pts_rect = scene.pts_rect
+        pts = np.hstack([pts_rect, scene.pts_intensity[:, None] - 0.5])
+        if clicks.shape[0] == 0:
+            save_kitti_format(scene.sample_id, scene.calib,
+                              np.zeros((0, 7)), out_dir, np.zeros(0),
+                              scene.image_shape, classes=cfg.CLASSES)
+        else:
+            hyp, valid = expand_clicks(clicks[:, [0, 2]], K)
+            # no RPN here: every crop point is 'foreground' for the mask
+            scores = np.ones(pts.shape[0], np.float32)
+            boxes, scores_out, keep = jax.tree.map(np.asarray, infer(
+                jnp.asarray(pts, jnp.float32), jnp.asarray(scores),
+                jnp.asarray(hyp), jnp.asarray(valid)))
+            save_kitti_format(scene.sample_id, scene.calib, boxes[keep],
+                              out_dir, scores_out[keep], scene.image_shape,
+                              classes=cfg.CLASSES)
+            log.info("scene %d: %d clicks -> %d boxes", i, clicks.shape[0],
+                     int(keep.sum()))
+        gt_frames.append(scene.labels)
+        dt_paths.append(os.path.join(out_dir, "%06d.txt" % scene.sample_id))
+
+    if not args.no_ap:
+        gt_annos = annos_from_objects(gt_frames)
+        dt_annos = []
+        for path in dt_paths:
+            with open(path) as f:
+                dt_annos.append(anno_from_lines(f.readlines()))
+        result, ret = get_official_eval_result(gt_annos, dt_annos,
+                                               cfg.CLASSES)
+        log.info("\n%s", result)
+
+
+if __name__ == "__main__":
+    main()

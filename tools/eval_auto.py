@@ -1,0 +1,128 @@
+"""Full two-stage detector eval / auto-annotator.
+
+Equivalent of /root/reference/tools/eval_auto.py:137-757, restructured
+TPU-first: the per-proposal serial RCNN loop becomes one batched (K, 512, _)
+forward inside a single jitted per-scene function
+(ws3d_tpu.pipeline.make_two_stage_fn); NMS sweeps run on device over fixed
+candidate sets; only the KITTI txt dump happens on host.
+
+Synthetic smoke run:
+    python tools/eval_auto.py --synthetic --scenes 2
+"""
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+
+from common import base_parser, setup, make_scene_source
+
+
+def save_kitti_format(sample_id, calib, bbox3d, out_dir, scores, img_shape,
+                      classes="Car"):
+    """KITTI txt writer (tools/eval_auto.py:108-133): project corners,
+    clip to image, drop boxes covering >80% of the image."""
+    import jax.numpy as jnp
+    from ws3d_tpu.ops.boxes import boxes3d_to_corners3d
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "%06d.txt" % sample_id)
+    if bbox3d.shape[0] == 0:
+        open(path, "w").close()
+        return
+    corners = np.asarray(boxes3d_to_corners3d(jnp.asarray(bbox3d)))
+    img_boxes, _ = calib.corners3d_to_img_boxes(corners)
+    img_boxes[:, [0, 2]] = np.clip(img_boxes[:, [0, 2]], 0, img_shape[1] - 1)
+    img_boxes[:, [1, 3]] = np.clip(img_boxes[:, [1, 3]], 0, img_shape[0] - 1)
+    w = img_boxes[:, 2] - img_boxes[:, 0]
+    h = img_boxes[:, 3] - img_boxes[:, 1]
+    ok = (w < img_shape[1] * 0.8) & (h < img_shape[0] * 0.8)
+    with open(path, "w") as f:
+        for k in range(bbox3d.shape[0]):
+            if not ok[k]:
+                continue
+            x, z, ry = bbox3d[k, 0], bbox3d[k, 2], bbox3d[k, 6]
+            beta = math.atan2(z, x)
+            alpha = -np.sign(beta) * np.pi / 2 + beta + ry
+            print("%s -1 -1 %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f "
+                  "%.4f %.4f %.4f %.4f"
+                  % (classes, alpha, img_boxes[k, 0], img_boxes[k, 1],
+                     img_boxes[k, 2], img_boxes[k, 3], bbox3d[k, 3],
+                     bbox3d[k, 4], bbox3d[k, 5], bbox3d[k, 0], bbox3d[k, 1],
+                     bbox3d[k, 2], bbox3d[k, 6], scores[k]), file=f)
+
+
+def main():
+    p = base_parser("two-stage eval / auto-annotator with KITTI AP")
+    p.add_argument("--scenes", type=int, default=16)
+    p.add_argument("--points", type=int, default=None)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--no_ap", action="store_true")
+    args = p.parse_args()
+    cfg, log = setup(args)
+    cfg.RCNN.ENABLED = True
+    cfg.IOUN.ENABLED = True
+    if args.points:
+        cfg.RPN.NUM_POINTS = args.points
+        if args.points <= 2048:
+            cfg.RPN.SA_CONFIG.NPOINTS = [args.points // 4, args.points // 16,
+                                         args.points // 64, args.points // 256]
+
+    import jax
+    import jax.numpy as jnp
+    from ws3d_tpu.datasets import RPNDataset
+    from ws3d_tpu.eval import annos_from_objects, get_official_eval_result
+    from ws3d_tpu.eval.kitti_ap import get_label_annos, anno_from_lines
+    from ws3d_tpu.models import build_model, init_model
+    from ws3d_tpu.pipeline import make_two_stage_fn
+    from ws3d_tpu.training.checkpoint import load_part_checkpoint
+
+    src = make_scene_source(args, num_scenes=args.scenes)
+    ds = RPNDataset(src, cfg, mode="EVAL", seed=args.seed)
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(args.seed))
+    if args.ckpt:
+        variables = load_part_checkpoint(variables, args.ckpt,
+                                         subtrees=("rpn", "rcnn"))
+        log.info("loaded ckpt %s", args.ckpt)
+
+    fn = jax.jit(make_two_stage_fn(model, cfg))
+    out_dir = os.path.join(args.output_dir, "final_result", "data")
+
+    gt_frames, det_count = [], 0
+    n = min(len(ds), args.scenes)
+    for i in range(n):
+        sample = ds.get_sample(i)
+        scene = src.get_scene(ds.sample_ids[i])
+        out = jax.tree.map(np.asarray,
+                           fn(variables, jnp.asarray(
+                               sample["pts_input"][None])))
+        keep = out["keep"][0]
+        boxes = out["boxes"][0][keep]
+        scores = out["scores"][0][keep]
+        det_count += boxes.shape[0]
+        save_kitti_format(int(sample["sample_id"]), scene.calib, boxes,
+                          out_dir, scores, scene.image_shape,
+                          classes=cfg.CLASSES)
+        gt_frames.append(scene.labels)
+        log.info("scene %d: %d detections", i, boxes.shape[0])
+
+    log.info("total detections: %d over %d scenes", det_count, n)
+    if not args.no_ap:
+        gt_annos = annos_from_objects(gt_frames)
+        dt_annos = []
+        for i in range(n):
+            path = os.path.join(out_dir, "%06d.txt"
+                                % int(ds.get_sample(i)["sample_id"]))
+            with open(path) as f:
+                dt_annos.append(anno_from_lines(f.readlines()))
+        result, ret = get_official_eval_result(gt_annos, dt_annos,
+                                               cfg.CLASSES)
+        log.info("\n%s", result)
+        log.info("Car 3D AP e/m/h: %.2f / %.2f / %.2f",
+                 ret["Car_3d_easy"], ret["Car_3d_moderate"],
+                 ret["Car_3d_hard"])
+
+
+if __name__ == "__main__":
+    main()

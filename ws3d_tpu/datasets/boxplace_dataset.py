@@ -261,7 +261,7 @@ def synthetic_proposal_database(num: int = 64, seed: int = 0,
             offset = rng.randn(2) * 0.3
             ry = rng.uniform(-math.pi, math.pi)
             box = np.array([offset[0], 1.65, offset[1], *hwl, ry], np.float32)
-            n_car = rng.randint(80, 300)
+            n_car = min(rng.randint(80, 300), crop_points * 3 // 4)
             car_pts = _car_surface_points(rng, box, n_car)
         else:
             box = np.zeros(7, np.float32)

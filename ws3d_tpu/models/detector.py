@@ -35,6 +35,18 @@ class PointRCNN(nn.Module):
         return self.rpn(batch["pts_input"], train=train,
                         bn_momentum=bn_momentum)
 
+    def init_all(self, batch, train: bool = False, bn_momentum=0.1):
+        """Forward through every enabled stage — used only at init time so
+        all parameters exist regardless of which stage a caller jits."""
+        out = {}
+        if self.rpn is not None:
+            out.update(self.rpn_forward(batch, train=train,
+                                        bn_momentum=bn_momentum))
+        if self.rcnn is not None:
+            out.update(self.rcnn_forward(batch, train=train,
+                                         bn_momentum=bn_momentum))
+        return out
+
     def rcnn_forward(self, batch, train: bool = False, bn_momentum=0.1):
         assert self.rcnn is not None, "RCNN stage not enabled"
         iou_noise = None
@@ -65,13 +77,14 @@ def init_model(model: PointRCNN, cfg, rng: jax.Array,
         if model.rpn is not None:
             c = 4 if cfg.RPN.USE_INTENSITY else 3
             batch["pts_input"] = jnp.zeros((1, cfg.RPN.NUM_POINTS, c))
-        else:
+        if model.rcnn is not None:
             p = cfg.RCNN.NUM_POINTS
-            batch = {"cur_box_point": jnp.zeros((1, p, 3)),
-                     "cur_box_reflect": jnp.zeros((1, p, 1)),
-                     "train_mask": jnp.zeros((1, p, 1))}
+            batch.update({"cur_box_point": jnp.zeros((1, p, 3)),
+                          "cur_box_reflect": jnp.zeros((1, p, 1)),
+                          "train_mask": jnp.zeros((1, p, 1))})
     # jit the init: eager init dispatches each primitive separately, which is
     # pathological on the tunneled TPU backend (~100 ms/op)
-    init_fn = jax.jit(lambda r, b: model.init({"params": r, "dropout": r},
-                                              b, train=False))
+    init_fn = jax.jit(lambda r, b: model.init(
+        {"params": r, "dropout": r}, b, train=False,
+        method=model.init_all))
     return init_fn(rng, batch)

@@ -18,7 +18,13 @@ from ws3d_tpu.ops.grouping import _pairwise_sqdist
 
 def _three_nn_chunk(unknown_c: jnp.ndarray, known: jnp.ndarray):
     d2 = _pairwise_sqdist(unknown_c, known)               # (B, nc, m)
-    neg, idx = jax.lax.top_k(-d2, 3)
+    m = d2.shape[-1]
+    k = min(3, m)
+    neg, idx = jax.lax.top_k(-d2, k)
+    if k < 3:                      # tiny-m configs: repeat the nearest
+        pad = 3 - k
+        neg = jnp.concatenate([neg] + [neg[..., :1]] * pad, axis=-1)
+        idx = jnp.concatenate([idx] + [idx[..., :1]] * pad, axis=-1)
     return -neg, idx.astype(jnp.int32)
 
 

@@ -1,0 +1,3 @@
+from ws3d_tpu.parallel.mesh import (make_mesh, batch_sharding,
+                                    replicated_sharding, shard_batch,
+                                    data_parallel_jit)

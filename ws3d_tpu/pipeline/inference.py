@@ -1,0 +1,187 @@
+"""Two-stage inference pipeline — fully batched, fixed-shape, jittable.
+
+TPU-native restructuring of tools/eval_auto.py:137-757 (and the proposal part
+of generate_box_dataset.py:85-136). The reference runs a serial B=1 RCNN
+forward per proposal (eval_auto.py:328-410); here all K proposals of a scene
+are one fixed (K, 512, _) batch through the stage-2 net, and the greedy
+radius/self NMS python loops become on-device lax loops over fixed-size
+score-sorted candidate sets.
+
+Flow per scene:
+  RPN forward -> per-point center votes (decode_center) ->
+  mask score>SCORE_THRESH & |vote-xyz|_xz > 0.2 -> top-M preselect ->
+  radius-0.3 greedy NMS -> top-K centers -> 4 m cylinder crops (512 pts,
+  first-index order, wraparound pad) -> batched RCNN/IOUN forward ->
+  un-center boxes -> score + car-size gate -> iou2d<0.01 self-NMS.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ws3d_tpu.box_codec import decode_center
+from ws3d_tpu.ops.nms import radius_nms, _greedy_suppress
+from ws3d_tpu.ops.iou3d import boxes_iou3d
+from ws3d_tpu.ops.roipool import _first_k_wraparound
+
+GROUND_Y = 1.65
+MIN_VOTE_DIST = 0.2          # |decoded center - point|_xz gate (eval_auto:255)
+RADIUS_NMS = 0.3             # proposal radius NMS (eval_auto:275)
+CROP_RADIUS = 4.0            # rcnn crop radius (eval_auto:338)
+SELF_NMS_IOU = 0.01          # final self-NMS max iou2d (eval_auto:606)
+# car size gate (eval_auto:433-436)
+SIZE_GATE = ((1.1, 2.3), (1.2, 2.1), (2.1, 5.1))
+
+
+def rpn_propose(rpn_cls: jnp.ndarray, rpn_reg: jnp.ndarray,
+                backbone_xyz: jnp.ndarray, loc_scope: float,
+                loc_bin_size: float, score_thresh: float = 0.3,
+                pre_nms_top: int = 512, max_proposals: int = 64,
+                nms_radius: float = RADIUS_NMS):
+    """Single scene: (N, 1), (N, C), (N, 3) -> proposal centers.
+
+    :return: centers_xz (K, 2), scores_raw (K,), valid (K,) — score-sorted.
+
+    The reference masks dynamically then NMS-sweeps all survivors
+    (eval_auto.py:244-284); on TPU we preselect the top `pre_nms_top`
+    candidates so the NMS distance matrix is a fixed (M, M).
+    """
+    scores_raw = rpn_cls.reshape(-1)
+    scores_norm = jax.nn.sigmoid(scores_raw)
+    rois = decode_center(backbone_xyz, rpn_reg, loc_scope, loc_bin_size)
+    vote_dist = jnp.sqrt(
+        jnp.square(rois[:, 0] - backbone_xyz[:, 0])
+        + jnp.square(rois[:, 2] - backbone_xyz[:, 2]))
+    mask = (scores_norm > score_thresh) & (vote_dist > MIN_VOTE_DIST)
+
+    neg_inf = jnp.asarray(-jnp.inf, scores_raw.dtype)
+    masked_scores = jnp.where(mask, scores_raw, neg_inf)
+    top_scores, top_idx = jax.lax.top_k(masked_scores, pre_nms_top)
+    top_valid = jnp.isfinite(top_scores)
+    centers = rois[top_idx][:, jnp.array([0, 2])]           # (M, 2)
+
+    # rows already score-sorted; greedy keep if no kept center within radius
+    d = jnp.sqrt(jnp.sum(jnp.square(centers[:, None] - centers[None]), -1))
+    keep = _greedy_suppress(-(d - nms_radius), 0.0, top_valid)
+
+    keep_scores = jnp.where(keep, top_scores, neg_inf)
+    sel_scores, sel = jax.lax.top_k(keep_scores, max_proposals)
+    valid = jnp.isfinite(sel_scores)
+    centers_k = centers[sel]
+    return (jnp.where(valid[:, None], centers_k, 0.0),
+            jnp.where(valid, sel_scores, 0.0), valid)
+
+
+def crop_for_rcnn(pts_input: jnp.ndarray, scores_norm: jnp.ndarray,
+                  centers_xz: jnp.ndarray, num_sampled: int = 512):
+    """Scene points (N, 3+) + proposal centers (K, 2) -> stage-2 crops.
+
+    Matches eval_auto.py:323-367: y -= 1.65, 4 m BEV radius membership in
+    point order, recenter x/z, reflect channel from pts_input[:, 3], mask
+    channel = (rpn score > 0.5) - 0.5.
+
+    :return: dict(cur_box_point (K, S, 3), cur_box_reflect (K, S, 1),
+                  train_mask (K, S, 1)), empty (K,) bool
+    """
+    xyz = pts_input[:, 0:3].at[:, 1].add(-GROUND_Y)
+    reflect = (pts_input[:, 3] if pts_input.shape[1] > 3
+               else jnp.zeros(pts_input.shape[0], pts_input.dtype))
+    d2 = (jnp.square(xyz[None, :, 0] - centers_xz[:, None, 0])
+          + jnp.square(xyz[None, :, 2] - centers_xz[:, None, 1]))
+    idx, empty = _first_k_wraparound(d2 < CROP_RADIUS * CROP_RADIUS,
+                                     num_sampled)
+    crop_xyz = xyz[idx]                                      # (K, S, 3)
+    offs = jnp.stack([centers_xz[:, 0], jnp.zeros_like(centers_xz[:, 0]),
+                      centers_xz[:, 1]], axis=-1)
+    crop_xyz = crop_xyz - offs[:, None, :]
+    crop_reflect = reflect[idx][..., None]
+    crop_mask = (scores_norm[idx] > 0.5).astype(crop_xyz.dtype)[..., None] - 0.5
+    zero = empty[:, None, None]
+    return ({"cur_box_point": jnp.where(zero, 0.0, crop_xyz),
+             "cur_box_reflect": jnp.where(zero, 0.0, crop_reflect),
+             "train_mask": jnp.where(zero, 0.0, crop_mask)}, empty)
+
+
+def finalize_detections(boxes: jnp.ndarray, rcnn_cls: jnp.ndarray,
+                        rcnn_iou: jnp.ndarray, centers_xz: jnp.ndarray,
+                        valid: jnp.ndarray, rcnn_thresh: float = 0.3,
+                        iou_thresh: float = 0.3, size_gate: bool = True):
+    """Un-center boxes, gate scores/sizes, greedy self-NMS
+    (eval_auto.py:397-436, 572-613).
+
+    boxes (K, 7) crop-frame bottom-y; returns (boxes (K, 7) scene-frame,
+    scores (K,) = predicted IoU, keep (K,) bool).
+    """
+    ry = boxes[:, 6] % (2 * math.pi)
+    ry = jnp.where(ry > math.pi, ry - 2 * math.pi, ry)
+    out = jnp.stack([
+        boxes[:, 0] + centers_xz[:, 0],
+        boxes[:, 1] + GROUND_Y,
+        boxes[:, 2] + centers_xz[:, 1],
+        boxes[:, 3], boxes[:, 4], boxes[:, 5], ry], axis=-1)
+
+    norm_cls = jax.nn.sigmoid(rcnn_cls.reshape(-1))
+    iou_score = rcnn_iou.reshape(-1)
+    keep = valid & (norm_cls > rcnn_thresh) & (iou_score > iou_thresh)
+    if size_gate:
+        h, w, l = out[:, 3], out[:, 4], out[:, 5]
+        keep &= ((h > SIZE_GATE[0][0]) & (h < SIZE_GATE[0][1])
+                 & (w > SIZE_GATE[1][0]) & (w < SIZE_GATE[1][1])
+                 & (l > SIZE_GATE[2][0]) & (l < SIZE_GATE[2][1]))
+
+    # self-NMS in predicted-IoU order: drop any box overlapping a kept one
+    order = jnp.argsort(-jnp.where(keep, iou_score, -jnp.inf))
+    sorted_boxes = out[order]
+    iou2d, _ = boxes_iou3d(sorted_boxes, sorted_boxes)
+    keep_sorted = _greedy_suppress(iou2d - SELF_NMS_IOU, 0.0, keep[order])
+    inv = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+    keep_final = keep_sorted[inv]
+    return out, iou_score, keep_final
+
+
+def make_two_stage_fn(model, cfg, num_points: int = 512,
+                      pre_nms_top: int = 512,
+                      max_proposals: int | None = None):
+    """Build the jittable full-scene two-stage inference function.
+
+    Returns fn(variables, pts_input (B, N, 3+C)) ->
+      dict(boxes (B, K, 7), scores (B, K), keep (B, K) bool,
+           centers (B, K, 2), proposal_valid (B, K)).
+    """
+    K = max_proposals or cfg.TPU.MAX_PROPOSALS
+    loc_scope = cfg.RPN.LOC_SCOPE
+    loc_bin_size = cfg.RPN.LOC_BIN_SIZE
+    score_thresh = cfg.RPN.SCORE_THRESH
+    rcnn_thresh = cfg.RCNN.SCORE_THRESH
+    iou_thresh = cfg.IOUN.SCORE_THRESH if cfg.IOUN.ENABLED else 0.0
+
+    def single_scene(variables, pts_input):
+        rpn_out = model.apply(variables, {"pts_input": pts_input[None]},
+                              train=False, method=model.rpn_forward)
+        centers, prop_scores, valid = rpn_propose(
+            rpn_out["rpn_cls"][0], rpn_out["rpn_reg"][0],
+            rpn_out["backbone_xyz"][0], loc_scope, loc_bin_size,
+            score_thresh=score_thresh, pre_nms_top=pre_nms_top,
+            max_proposals=K)
+        scores_norm = jax.nn.sigmoid(rpn_out["rpn_cls"][0, :, 0])
+        crops, empty = crop_for_rcnn(pts_input, scores_norm, centers,
+                                     num_sampled=num_points)
+        rcnn_out = model.apply(variables, crops, train=False,
+                               method=model.rcnn_forward)
+        boxes = rcnn_out.get("refined_box", rcnn_out["pred_boxes3d"])
+        rcnn_iou = rcnn_out.get("rcnn_iou",
+                                jax.nn.sigmoid(rcnn_out["rcnn_cls"]))
+        boxes, scores, keep = finalize_detections(
+            boxes.reshape(K, 7), rcnn_out["rcnn_cls"], rcnn_iou, centers,
+            valid & ~empty, rcnn_thresh=rcnn_thresh, iou_thresh=iou_thresh)
+        return {"boxes": boxes, "scores": scores, "keep": keep,
+                "centers": centers, "proposal_valid": valid}
+
+    def fn(variables, pts_input):
+        return jax.vmap(partial(single_scene, variables))(pts_input)
+
+    return fn

@@ -1,0 +1,75 @@
+"""Checkpoint save/restore via orbax, with partial (stage-wise) loading.
+
+Equivalent of tools/train_utils/train_utils.py:67-118: the reference pickles
+{it, model_state, optimizer_state} with torch.save and stacks stage
+checkpoints via key-filtered state-dict updates (load_part_ckpt — RPN ckpt +
+RCNN ckpt merged for joint eval, eval_active.py:677-703). Here: orbax
+PyTreeCheckpointer over {step, params, batch_stats}, and
+`load_part_checkpoint` grafts matching top-level subtrees.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+    _HAVE_ORBAX = True
+except ImportError:                                         # pragma: no cover
+    _HAVE_ORBAX = False
+
+
+def _to_host(tree):
+    return jax.tree.map(np.asarray, tree)
+
+
+def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None):
+    """Save {step, params, batch_stats} (+extra) to `path` (a directory)."""
+    payload = {"step": np.asarray(state.step),
+               "params": _to_host(state.params),
+               "batch_stats": _to_host(state.batch_stats)}
+    if extra:
+        payload["extra"] = extra
+    path = os.path.abspath(path)
+    if _HAVE_ORBAX:
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path, payload, force=True)
+    else:                                                   # pragma: no cover
+        import pickle
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path + ".pkl", "wb") as f:
+            pickle.dump(payload, f)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    path = os.path.abspath(path)
+    if _HAVE_ORBAX and os.path.isdir(path):
+        ckptr = ocp.PyTreeCheckpointer()
+        return ckptr.restore(path)
+    import pickle                                           # pragma: no cover
+    with open(path + ".pkl", "rb") as f:
+        return pickle.load(f)
+
+
+def load_part_checkpoint(variables: Dict[str, Any], path: str,
+                         subtrees=("rpn", "rcnn")) -> Dict[str, Any]:
+    """Graft matching top-level param subtrees from a checkpoint into
+    `variables` (load_part_ckpt, train_utils.py:102-118): used to stack an
+    RPN ckpt with an RCNN/IOUN ckpt for joint two-stage eval."""
+    ckpt = load_checkpoint(path)
+    out_params = dict(variables["params"])
+    for key in subtrees:
+        if key in ckpt["params"] and key in out_params:
+            out_params[key] = ckpt["params"][key]
+    out = dict(variables)
+    out["params"] = out_params
+    if "batch_stats" in variables and ckpt.get("batch_stats"):
+        bs = dict(variables["batch_stats"])
+        for key in subtrees:
+            if key in ckpt["batch_stats"] and key in bs:
+                bs[key] = ckpt["batch_stats"][key]
+        out["batch_stats"] = bs
+    return out
