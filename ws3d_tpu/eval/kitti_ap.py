@@ -18,7 +18,19 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
-from ws3d_tpu.eval.rotate_iou_np import rotate_iou_eval
+from ws3d_tpu.eval.rotate_iou_np import rotate_iou_eval as _np_rotate_iou
+
+try:                                   # native C++ backend (csrc/ws3d_host.cpp)
+    from ws3d_tpu import native as _native
+    _HAVE_NATIVE = _native.available()
+except Exception:                                           # pragma: no cover
+    _HAVE_NATIVE = False
+
+
+def rotate_iou_eval(boxes, qboxes, criterion=-1):
+    if _HAVE_NATIVE:
+        return _native.rotate_iou_eval(boxes, qboxes, criterion)
+    return _np_rotate_iou(boxes, qboxes, criterion)
 
 N_SAMPLE_PTS = 41
 NO_DETECTION = -10000000.0

@@ -1,0 +1,90 @@
+"""ctypes bindings for the host C++ kernels (csrc/ws3d_host.cpp).
+
+Auto-builds libws3d_host.so on first import if a compiler is present;
+callers fall back to the NumPy implementations when unavailable
+(ws3d_tpu.eval.rotate_iou_np), so the library never hard-requires the
+native build.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_CSRC = os.path.join(_REPO, "csrc")
+_LIB_PATH = os.path.join(_CSRC, "libws3d_host.so")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _CSRC], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    dp = ctypes.POINTER(ctypes.c_double)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.ws3d_rotated_inter_area.argtypes = [dp, ctypes.c_int64, dp,
+                                            ctypes.c_int64, dp]
+    lib.ws3d_rotate_iou_eval.argtypes = [dp, ctypes.c_int64, dp,
+                                         ctypes.c_int64, ctypes.c_int, dp]
+    lib.ws3d_greedy_nms.argtypes = [dp, ctypes.c_int64, ctypes.c_double,
+                                    u8p, u8p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def _dptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def rotate_iou_eval(boxes: np.ndarray, qboxes: np.ndarray,
+                    criterion: int = -1) -> np.ndarray:
+    """Native rotate_iou_gpu_eval; same contract as
+    ws3d_tpu.eval.rotate_iou_np.rotate_iou_eval."""
+    lib = load()
+    boxes = np.ascontiguousarray(boxes, np.float64)
+    qboxes = np.ascontiguousarray(qboxes, np.float64)
+    n, k = boxes.shape[0], qboxes.shape[0]
+    out = np.zeros((n, k), np.float64)
+    if n and k:
+        lib.ws3d_rotate_iou_eval(_dptr(boxes), n, _dptr(qboxes), k,
+                                 criterion, _dptr(out))
+    return out
+
+
+def greedy_nms(pair: np.ndarray, thresh: float,
+               valid: Optional[np.ndarray] = None) -> np.ndarray:
+    """Greedy sweep over a score-sorted pairwise matrix -> keep mask."""
+    lib = load()
+    pair = np.ascontiguousarray(pair, np.float64)
+    n = pair.shape[0]
+    if valid is None:
+        valid = np.ones(n, np.uint8)
+    else:
+        valid = np.ascontiguousarray(valid.astype(np.uint8))
+    keep = np.zeros(n, np.uint8)
+    lib.ws3d_greedy_nms(_dptr(pair), n, thresh,
+                        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return keep.astype(bool)
