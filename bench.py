@@ -41,12 +41,17 @@ def main():
     batch = next(ds.batches(batch_size=BATCH, steps=1, shuffle=False))
     pts = jnp.asarray(batch["pts_input"])
 
+    # NOTE: on the tunneled axon backend block_until_ready does NOT actually
+    # block; force a (tiny) host transfer each iteration to get honest
+    # wall-clock numbers.
     for _ in range(WARMUP):
-        out = jax.block_until_ready(fn(variables, pts))
+        out = fn(variables, pts)
+        np.asarray(out["keep"])
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = jax.block_until_ready(fn(variables, pts))
+        out = fn(variables, pts)
+        np.asarray(out["keep"])
     dt = time.perf_counter() - t0
     scenes_per_sec = BATCH * ITERS / dt
 

@@ -19,6 +19,21 @@ from ws3d_tpu.datasets.kitti_io import Calibration, KittiScene, Object3d
 GROUND_Y = 1.65
 CAR_MEAN_HWL = np.array([1.53, 1.63, 3.88], np.float32)
 
+_XS = np.array([0.5, 0.5, -0.5, -0.5, 0.5, 0.5, -0.5, -0.5])
+_ZS = np.array([0.5, -0.5, -0.5, 0.5, 0.5, -0.5, -0.5, 0.5])
+_YS = np.array([0.0, 0.0, 0.0, 0.0, -1.0, -1.0, -1.0, -1.0])
+
+
+def _corners3d_np(b: np.ndarray) -> np.ndarray:
+    """NumPy twin of ws3d_tpu.ops.boxes.boxes3d_to_corners3d for one (7,)
+    box — keeps scene generation jax-free (no eager device dispatch)."""
+    h, w, l, ry = b[3], b[4], b[5], b[6]
+    x_c, z_c, y_c = l * _XS, w * _ZS, h * _YS
+    c, s = np.cos(ry), np.sin(ry)
+    xr = c * x_c + s * z_c
+    zr = -s * x_c + c * z_c
+    return np.stack([xr + b[0], y_c + b[1], zr + b[2]], axis=-1)
+
 
 def _car_surface_points(rng: np.random.RandomState, box: np.ndarray,
                         n: int) -> np.ndarray:
@@ -86,9 +101,7 @@ class SyntheticKitti:
         noise_labels: List[Object3d] = []
         calib = Calibration.identity()
         for b in boxes:
-            from ws3d_tpu.ops.boxes import boxes3d_to_corners3d
-            import numpy as _np
-            corners = _np.asarray(boxes3d_to_corners3d(b[None]))[0]
+            corners = _corners3d_np(b)
             img_boxes, _ = calib.corners3d_to_img_boxes(corners[None])
             box2d = img_boxes[0].astype(np.float32)
             obj = Object3d(cls_type="Car", trucation=0.0, occlusion=0.0,
