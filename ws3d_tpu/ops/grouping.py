@@ -35,22 +35,30 @@ def _pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return a2 - 2.0 * cross + jnp.swapaxes(b2, -1, -2)
 
 
+def first_k_true_indices(mask: jnp.ndarray, k: int) -> jnp.ndarray:
+    """mask (..., N) bool -> (..., k) int32: positions of the first k True
+    entries in ascending order; slots past the count hold N (invalid marker).
+
+    Sort-free: rank = cumsum(mask) is nondecreasing, so the s-th True
+    position is searchsorted(rank, s+1) — O(N) cumsum + O(k log N) binary
+    searches instead of a 16k-wide sort (which dominates TPU time in the
+    naive top_k formulation).
+    """
+    N = mask.shape[-1]
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)
+    targets = jnp.arange(1, k + 1, dtype=jnp.int32)
+    flat = rank.reshape(-1, N)
+    idx = jax.vmap(lambda r: jnp.searchsorted(r, targets, side="left"))(flat)
+    return idx.reshape(mask.shape[:-1] + (k,)).astype(jnp.int32)
+
+
 def _ball_query_chunk(new_xyz_c: jnp.ndarray, xyz: jnp.ndarray,
                       radius: float, nsample: int) -> jnp.ndarray:
     """new_xyz_c (B, Mc, 3), xyz (B, N, 3) -> (B, Mc, nsample) int32."""
     N = xyz.shape[1]
     d2 = _pairwise_sqdist(new_xyz_c, xyz)                          # (B, Mc, N)
     in_ball = d2 < radius * radius
-    iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, len(d2.shape) - 1)
-    keys = jnp.where(in_ball, iota, N)                              # invalid -> N
-    # smallest nsample keys == first in-radius indices in ascending order
-    kk = min(nsample, N)
-    neg_top, _ = jax.lax.top_k(-keys, kk)
-    idx = -neg_top                  # top-k of -keys, negated back => ascending
-    if kk < nsample:                # tiny-N configs: extra slots -> first idx
-        idx = jnp.concatenate(
-            [idx, jnp.broadcast_to(idx[..., 0:1],
-                                   idx.shape[:-1] + (nsample - kk,))], axis=-1)
+    idx = first_k_true_indices(in_ball, nsample)      # invalid slots -> N
     valid = idx < N
     first = idx[..., 0:1]
     idx = jnp.where(valid, idx, first)                              # pad w/ first

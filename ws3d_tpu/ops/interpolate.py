@@ -17,15 +17,27 @@ from ws3d_tpu.ops.grouping import _pairwise_sqdist
 
 
 def _three_nn_chunk(unknown_c: jnp.ndarray, known: jnp.ndarray):
+    """3 iterative masked-min passes over the distance tile — cheaper on TPU
+    than a sort-based top_k for k=3 (3 reduction sweeps vs a full sort).
+    Tie handling matches the CUDA running-top-3 (interpolate_gpu.cu:30-49):
+    lowest index wins."""
     d2 = _pairwise_sqdist(unknown_c, known)               # (B, nc, m)
     m = d2.shape[-1]
-    k = min(3, m)
-    neg, idx = jax.lax.top_k(-d2, k)
-    if k < 3:                      # tiny-m configs: repeat the nearest
-        pad = 3 - k
-        neg = jnp.concatenate([neg] + [neg[..., :1]] * pad, axis=-1)
-        idx = jnp.concatenate([idx] + [idx[..., :1]] * pad, axis=-1)
-    return -neg, idx.astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
+    dists, idxs = [], []
+    cur = d2
+    for _ in range(min(3, m)):
+        best = jnp.min(cur, axis=-1, keepdims=True)
+        pick = jnp.min(jnp.where(cur == best, iota, m), axis=-1,
+                       keepdims=True)
+        dists.append(jnp.take_along_axis(d2, pick, axis=-1))
+        idxs.append(pick)
+        cur = jnp.where(iota == pick, jnp.inf, cur)
+    while len(dists) < 3:                       # tiny-m: repeat the nearest
+        dists.append(dists[0])
+        idxs.append(idxs[0])
+    return (jnp.concatenate(dists, axis=-1),
+            jnp.concatenate(idxs, axis=-1).astype(jnp.int32))
 
 
 def three_nn(unknown: jnp.ndarray, known: jnp.ndarray, chunk: int = 2048):

@@ -22,12 +22,10 @@ def _first_k_wraparound(mask: jnp.ndarray, k: int):
     First-k true positions in ascending index order with `s % cnt` cyclic
     duplication for boxes with fewer than k hits.
     """
+    from ws3d_tpu.ops.grouping import first_k_true_indices
     M, N = mask.shape
-    iota = jax.lax.broadcasted_iota(jnp.int32, (M, N), 1)
-    keys = jnp.where(mask, iota, N)
     kk = min(k, N)
-    neg_top, _ = jax.lax.top_k(-keys, kk)
-    sel = -neg_top                               # (M, kk) ascending; invalid=N
+    sel = first_k_true_indices(mask, kk)         # (M, kk) ascending; invalid=N
     cnt = jnp.sum(mask, axis=1).astype(jnp.int32)
     empty = cnt == 0
     slots = jax.lax.broadcasted_iota(jnp.int32, (M, k), 1)
