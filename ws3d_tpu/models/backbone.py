@@ -24,6 +24,7 @@ class Pointnet2MSG(nn.Module):
     use_xyz: bool = True
     bq_chunk: int = 512
     nn_chunk: int = 2048
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, pts: jnp.ndarray, train: bool = False, bn_momentum=0.1):
@@ -39,7 +40,7 @@ class Pointnet2MSG(nn.Module):
                 nsamples=list(self.sa_nsample[k]),
                 mlps=[list(m) for m in self.sa_mlps[k]],
                 use_xyz=self.use_xyz, use_bn=self.use_bn,
-                bq_chunk=self.bq_chunk, name=f"sa_{k}",
+                bq_chunk=self.bq_chunk, dtype=self.dtype, name=f"sa_{k}",
             )(l_xyz[k], l_feats[k], train=train, bn_momentum=bn_momentum)
             l_xyz.append(new_xyz)
             l_feats.append(new_feats)
@@ -48,7 +49,7 @@ class Pointnet2MSG(nn.Module):
         for i in range(n_fp - 1, -1, -1):
             l_feats[i] = PointnetFPModule(
                 mlp=list(self.fp_mlps[i]), use_bn=self.use_bn,
-                nn_chunk=self.nn_chunk, name=f"fp_{i}",
+                nn_chunk=self.nn_chunk, dtype=self.dtype, name=f"fp_{i}",
             )(l_xyz[i], l_xyz[i + 1], l_feats[i], l_feats[i + 1],
               train=train, bn_momentum=bn_momentum)
 

@@ -51,23 +51,28 @@ class SharedMLP(nn.Module):
 
     Equivalent of pt_utils.SharedMLP (1x1 Conv2d stacks) in channel-last
     layout; kaiming init to match the reference's default.
+
+    ``dtype`` sets the matmul compute dtype (bfloat16 puts the Dense layers
+    on the MXU at full rate; params and BN statistics stay float32).
     """
     channels: Sequence[int]
     use_bn: bool = True
     activation: Optional[Callable] = nn.relu
     kernel_init: Callable = KAIMING
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  bn_momentum=0.1) -> jnp.ndarray:
         for c in self.channels:
             x = nn.Dense(c, use_bias=not self.use_bn,
-                         kernel_init=self.kernel_init)(x)
+                         kernel_init=self.kernel_init, dtype=self.dtype)(x)
             if self.use_bn:
-                x = BatchNorm()(x, train=train, momentum=bn_momentum)
+                x = BatchNorm()(x.astype(jnp.float32), train=train,
+                                momentum=bn_momentum)
             if self.activation is not None:
                 x = self.activation(x)
-        return x
+        return x.astype(jnp.float32)
 
 
 class HeadMLP(nn.Module):
@@ -84,17 +89,20 @@ class HeadMLP(nn.Module):
     final_kernel_init: Callable = KAIMING
     final_bias_init: Callable = nn.initializers.zeros
     kernel_init: Callable = KAIMING
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  bn_momentum=0.1) -> jnp.ndarray:
         for i, c in enumerate(self.hidden):
             x = nn.Dense(c, use_bias=not self.use_bn,
-                         kernel_init=self.kernel_init)(x)
+                         kernel_init=self.kernel_init, dtype=self.dtype)(x)
             if self.use_bn:
-                x = BatchNorm()(x, train=train, momentum=bn_momentum)
+                x = BatchNorm()(x.astype(jnp.float32), train=train,
+                                momentum=bn_momentum)
             x = nn.relu(x)
             if i == 0 and self.dp_ratio > 0:
                 x = nn.Dropout(self.dp_ratio, deterministic=not train)(x)
         return nn.Dense(self.out_channels, kernel_init=self.final_kernel_init,
-                        bias_init=self.final_bias_init)(x)
+                        bias_init=self.final_bias_init)(
+            x.astype(jnp.float32))

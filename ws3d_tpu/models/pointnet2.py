@@ -31,6 +31,7 @@ class PointnetSAModuleMSG(nn.Module):
     use_xyz: bool = True
     use_bn: bool = True
     bq_chunk: int = 512
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, xyz: jnp.ndarray, features: Optional[jnp.ndarray],
@@ -53,6 +54,7 @@ class PointnetSAModuleMSG(nn.Module):
                 grouped = group_all(xyz, features, use_xyz=self.use_xyz)
             # (B, M, S, Cin) -> MLP -> max over S
             h = SharedMLP(self.mlps[i], use_bn=self.use_bn,
+                          dtype=self.dtype,
                           name=f"mlp_{i}")(grouped, train=train,
                                            bn_momentum=bn_momentum)
             outs.append(jnp.max(h, axis=2))
@@ -76,6 +78,7 @@ class PointnetFPModule(nn.Module):
     mlp: Sequence[int]
     use_bn: bool = True
     nn_chunk: int = 2048
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, unknown: jnp.ndarray, known: Optional[jnp.ndarray],
@@ -91,5 +94,5 @@ class PointnetFPModule(nn.Module):
                               known_feats.shape[2]))
         if unknown_feats is not None:
             interp = jnp.concatenate([interp, unknown_feats], axis=-1)
-        return SharedMLP(self.mlp, use_bn=self.use_bn)(
+        return SharedMLP(self.mlp, use_bn=self.use_bn, dtype=self.dtype)(
             interp, train=train, bn_momentum=bn_momentum)

@@ -27,6 +27,7 @@ from flax import linen as nn
 from ws3d_tpu.box_codec import (bottom_to_center, center_to_bottom,
                                 decode_box_stage2, refine_box)
 from ws3d_tpu.models.layers import SharedMLP, HeadMLP, XAVIER
+from ws3d_tpu.models.rpn import _compute_dtype
 from ws3d_tpu.models.pointnet2 import PointnetSAModuleMSG
 from ws3d_tpu.ops.boxes import rotate_points_along_y
 
@@ -42,6 +43,7 @@ class _SAStack(nn.Module):
     mlps: Any
     use_bn: bool = False
     bq_chunk: int = 512
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xyz, features, train: bool = False, bn_momentum=0.1):
@@ -50,7 +52,7 @@ class _SAStack(nn.Module):
             xyz, features = PointnetSAModuleMSG(
                 npoint=npoint, radii=[float(self.radius[k])],
                 nsamples=[int(self.nsample[k])], mlps=[list(self.mlps[k])],
-                use_bn=self.use_bn, bq_chunk=self.bq_chunk,
+                use_bn=self.use_bn, bq_chunk=self.bq_chunk, dtype=self.dtype,
                 name=f"sa_{k}")(xyz, features, train=train,
                                 bn_momentum=bn_momentum)
         return features        # (B, 1, C_last)
@@ -86,6 +88,7 @@ class RCNNNet(nn.Module):
     ioun_use_bn: bool = False
     ioun_dp_ratio: float = 0.0
     bq_chunk: int = 512
+    dtype: Any = None
 
     @property
     def reg_channels(self) -> int:
@@ -113,31 +116,32 @@ class RCNNNet(nn.Module):
         raw_features = jnp.concatenate([cur_box_reflect, train_mask], axis=-1)
 
         up_xyz = SharedMLP(list(self.xyz_up_layer), use_bn=self.use_bn,
-                           name="xyz_up")(xyz, train=train,
+                           dtype=self.dtype, name="xyz_up")(xyz, train=train,
                                           bn_momentum=bn_momentum)
         up_feat = SharedMLP(list(self.xyz_up_layer), use_bn=self.use_bn,
-                            name="feature_up")(raw_features, train=train,
+                            dtype=self.dtype, name="feature_up")(raw_features, train=train,
                                                bn_momentum=bn_momentum)
         merged = SharedMLP([self.xyz_up_layer[-1]], use_bn=self.use_bn,
-                           name="merge_down")(
+                           dtype=self.dtype, name="merge_down")(
             jnp.concatenate([up_xyz, up_feat], axis=-1), train=train,
             bn_momentum=bn_momentum)
 
         trunk = _SAStack(npoints=self.sa_npoints, radius=self.sa_radius,
                          nsample=self.sa_nsample, mlps=self.sa_mlps,
                          use_bn=self.use_bn, bq_chunk=self.bq_chunk,
-                         name="sa_stack")(xyz, merged, train=train,
+                         dtype=self.dtype, name="sa_stack")(xyz, merged, train=train,
                                           bn_momentum=bn_momentum)  # (B,1,512)
 
         rcnn_cls = HeadMLP(hidden=list(self.cls_fc), out_channels=1,
                            use_bn=self.use_bn, dp_ratio=self.dp_ratio,
+                           dtype=self.dtype,
                            kernel_init=XAVIER, final_kernel_init=XAVIER,
                            name="cls_head")(trunk, train=train,
                                             bn_momentum=bn_momentum)
         rcnn_reg = HeadMLP(hidden=list(self.reg_fc),
                            out_channels=self.reg_channels,
                            use_bn=self.use_bn, dp_ratio=self.dp_ratio,
-                           kernel_init=XAVIER,
+                           dtype=self.dtype, kernel_init=XAVIER,
                            final_kernel_init=nn.initializers.normal(0.001),
                            name="reg_head")(trunk, train=train,
                                             bn_momentum=bn_momentum)
@@ -194,7 +198,7 @@ class RCNNNet(nn.Module):
                             radius=self.ioun_sa_radius,
                             nsample=self.ioun_sa_nsample,
                             mlps=self.ioun_sa_mlps, use_bn=self.ioun_use_bn,
-                            bq_chunk=self.bq_chunk,
+                            bq_chunk=self.bq_chunk, dtype=self.dtype,
                             name=f"sa_score_{c}")(canon, c_merged, train=train,
                                                   bn_momentum=bn_momentum)
 
@@ -257,4 +261,5 @@ def rcnn_from_config(cfg) -> RCNNNet:
         ioun_use_bn=cfg.IOUN.USE_BN,
         ioun_dp_ratio=cfg.IOUN.DP_RATIO,
         bq_chunk=cfg.TPU.BALL_QUERY_CHUNK,
+        dtype=_compute_dtype(cfg),
     )

@@ -19,6 +19,12 @@ from ws3d_tpu.models.layers import HeadMLP
 FOCAL_PRIOR_BIAS = -math.log((1 - 0.01) / 0.01)
 
 
+def _compute_dtype(cfg):
+    import jax.numpy as jnp
+    name = str(cfg.TPU.COMPUTE_DTYPE)
+    return jnp.bfloat16 if name == "bfloat16" else None
+
+
 class RPN(nn.Module):
     sa_npoints: Any
     sa_radius: Any
@@ -32,6 +38,7 @@ class RPN(nn.Module):
     dp_ratio: float = 0.5
     bq_chunk: int = 512
     nn_chunk: int = 2048
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, pts: jnp.ndarray, train: bool = False, bn_momentum=0.1):
@@ -43,17 +50,17 @@ class RPN(nn.Module):
             sa_nsample=self.sa_nsample, sa_mlps=self.sa_mlps,
             fp_mlps=self.fp_mlps, use_bn=self.use_bn,
             bq_chunk=self.bq_chunk, nn_chunk=self.nn_chunk,
-            name="backbone")(pts, train=train, bn_momentum=bn_momentum)
+            dtype=self.dtype, name="backbone")(pts, train=train, bn_momentum=bn_momentum)
 
         rpn_cls = HeadMLP(
             hidden=list(self.cls_fc), out_channels=1, use_bn=self.use_bn,
-            dp_ratio=self.dp_ratio,
+            dp_ratio=self.dp_ratio, dtype=self.dtype,
             final_bias_init=nn.initializers.constant(FOCAL_PRIOR_BIAS),
             name="cls_head")(backbone_features, train=train,
                              bn_momentum=bn_momentum)
         rpn_reg = HeadMLP(
             hidden=list(self.reg_fc), out_channels=self.reg_channels,
-            use_bn=self.use_bn, dp_ratio=self.dp_ratio,
+            use_bn=self.use_bn, dp_ratio=self.dp_ratio, dtype=self.dtype,
             final_kernel_init=nn.initializers.normal(stddev=0.001),
             name="reg_head")(backbone_features, train=train,
                              bn_momentum=bn_momentum)
@@ -80,4 +87,5 @@ def rpn_from_config(cfg) -> RPN:
         dp_ratio=cfg.RPN.DP_RATIO,
         bq_chunk=cfg.TPU.BALL_QUERY_CHUNK,
         nn_chunk=cfg.TPU.THREE_NN_CHUNK,
+        dtype=_compute_dtype(cfg),
     )
