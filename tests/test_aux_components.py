@@ -1,0 +1,108 @@
+"""Tests for the auxiliary components: differentiable GIoU/IoU losses,
+T-Net, RoI target assignment, host sampling utils, scalar writer."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ws3d_tpu.ops.giou import (paired_iou3d, paired_giou3d, ious_3d_loss,
+                               gious_3d_loss)
+from ws3d_tpu.pipeline.roi_target import sample_rois, aug_roi_by_noise
+from ws3d_tpu.utils.sampling_np import (weighted_sample,
+                                        greedy_furthest_point_sample)
+
+
+def _box(x=0.0, z=10.0, ry=0.0, h=1.5, w=1.6, l=3.9):
+    return np.array([x, 1.65, z, h, w, l, ry], np.float32)
+
+
+def test_paired_iou3d_identity_and_disjoint():
+    a = jnp.asarray(np.stack([_box(), _box(x=50.0)]))
+    b = jnp.asarray(np.stack([_box(), _box()]))
+    iou, _ = paired_iou3d(a, b)
+    np.testing.assert_allclose(iou[0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(iou[1], 0.0, atol=1e-6)
+
+
+def test_giou_bounds_and_gradient():
+    a = jnp.asarray(_box(x=0.5)[None])
+    b = jnp.asarray(_box()[None])
+    giou = paired_giou3d(a, b)
+    iou, _ = paired_iou3d(a, b)
+    assert float(giou[0]) <= float(iou[0]) + 1e-6
+    assert -1.0 <= float(giou[0]) <= 1.0
+    # gradient flows and pushes the box toward the gt
+    grad = jax.grad(lambda x: gious_3d_loss(b, x))(a)
+    assert np.all(np.isfinite(np.asarray(grad)))
+    assert float(grad[0, 0]) > 0  # moving +x increases loss (pred at +0.5)
+
+
+def test_ious_loss_zero_at_match():
+    a = jnp.asarray(_box()[None])
+    assert float(ious_3d_loss(a, a)) < 1e-5
+
+
+def test_transformer_identity_init(rng):
+    from ws3d_tpu.models.transformer import Transformer, apply_transform
+    model = Transformer(k=3, use_bn=False)
+    pts = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), pts)
+    t = model.apply(variables, pts)
+    assert t.shape == (2, 3, 3)
+    np.testing.assert_allclose(np.asarray(t), np.tile(np.eye(3), (2, 1, 1)),
+                               atol=1e-5)
+    out = apply_transform(pts, t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(pts), atol=1e-5)
+
+
+def test_sample_rois_composition(rng):
+    gt = np.stack([_box(), _box(x=8.0)])
+    rois = np.concatenate([
+        gt + rng.randn(2, 7).astype(np.float32) * 0.05,     # fg
+        np.stack([_box(x=3.0), _box(x=-3.0)]),              # some bg
+        np.stack([_box(x=30.0), _box(x=-30.0)]),            # easy bg
+    ])
+    out = sample_rois(rois, gt, roi_per_image=8,
+                      rng=np.random.RandomState(0))
+    assert out["rois"].shape == (8, 7)
+    assert out["is_fg"].sum() >= 1
+    assert (~out["is_fg"]).sum() >= 1
+    # fg rois carry their gt box
+    fg = np.where(out["is_fg"])[0][0]
+    d = np.abs(out["gt_of_rois"][fg] - gt).sum(axis=1).min()
+    assert d < 1e-4
+
+
+def test_aug_roi_by_noise_keeps_overlap():
+    gt = _box()
+    roi = _box(x=0.2)
+    out = aug_roi_by_noise(roi, gt, iou_thresh=0.5,
+                           rng=np.random.RandomState(1))
+    from ws3d_tpu.ops.iou3d import boxes_iou3d
+    _, iou = boxes_iou3d(jnp.asarray(out[None]), jnp.asarray(gt[None]))
+    assert float(iou[0, 0]) >= 0.5
+
+
+def test_weighted_sample_distribution():
+    w = np.array([0.0, 1.0, 1.0, 10.0])
+    idx = weighted_sample(w, 2, np.random.RandomState(0))
+    assert len(idx) == 2
+    assert 0 not in idx
+
+
+def test_greedy_fps_cpu(rng):
+    pts = rng.randn(100, 3)
+    idx = greedy_furthest_point_sample(pts, 10)
+    assert len(set(idx.tolist())) == 10
+    assert idx[0] == 0
+
+
+def test_scalar_writer(tmp_path):
+    from ws3d_tpu.utils.tb import ScalarWriter
+    w = ScalarWriter(str(tmp_path))
+    w.write(0, {"loss": 1.0})
+    w.write(1, {"loss": 0.5})
+    w.close()
+    lines = open(os.path.join(str(tmp_path), "scalars.jsonl")).readlines()
+    assert len(lines) == 2
