@@ -72,7 +72,8 @@ def main():
     state = create_train_state(model, cfg, variables,
                                total_steps=args.steps, stage=args.stage)
     trainer = Trainer(model, cfg, state, stage=args.stage, seed=args.seed,
-                      log_fn=log.info)
+                      log_fn=log.info,
+                      tb_dir=os.path.join(args.output_dir, "tb"))
     epoch_size = max(len(ds) // args.batch, 1)
     total_epochs = max(args.steps // epoch_size, 1)
 

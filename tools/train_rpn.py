@@ -58,7 +58,8 @@ def main():
         log.info("data-parallel mesh over %d devices", mesh.devices.size)
 
     trainer = Trainer(model, cfg, state, stage="rpn", seed=args.seed,
-                      mesh=mesh, log_fn=log.info)
+                      mesh=mesh, log_fn=log.info,
+                      tb_dir=os.path.join(args.output_dir, "tb"))
     epoch_size = max(len(ds) // args.batch, 1)
     trainer.train_steps(ds.batches(args.batch), total_steps=args.steps,
                         log_every=max(args.steps // 100, 1),

@@ -292,7 +292,11 @@ def rcnn_loss(rcnn_cls: jnp.ndarray, rcnn_reg: jnp.ndarray,
     aux = {"rcnn_loss_cls": loss_cls, "rcnn_loss_loc": loss_loc,
            "rcnn_loss_angle": loss_angle, "rcnn_loss_size": loss_size,
            "rcnn_loss_corner": loss_corner, "rcnn_loss": total,
-           "rcnn_iou_mean": masked_mean(iou3d, fg_mask)}
+           "rcnn_iou_mean": masked_mean(iou3d, fg_mask),
+           # logged-only IoU loss value, as in the reference where
+           # ious_3d_loss is computed but not added to the total
+           # (train_functions.py:279,302,370)
+           "rcnn_loss_giou": masked_mean(1.0 - iou3d, iou_mask)}
     return total, aux
 
 

@@ -159,13 +159,17 @@ class Trainer:
     prob_mask_ratio schedule for stage-2 (train_utils.py:546-548)."""
 
     def __init__(self, model, cfg, state: TrainState, stage: str = "rpn",
-                 seed: int = 0, mesh=None, log_fn=print):
+                 seed: int = 0, mesh=None, log_fn=print, tb_dir=None):
         self.model = model
         self.cfg = cfg
         self.state = state
         self.stage = stage
         self.rng = jax.random.PRNGKey(seed)
         self.log_fn = log_fn
+        self.writer = None
+        if tb_dir:
+            from ws3d_tpu.utils.tb import ScalarWriter
+            self.writer = ScalarWriter(tb_dir)
         self.bn_sched = bn_momentum_schedule(cfg)
         step_fn = (make_rpn_train_step(model, cfg) if stage == "rpn"
                    else make_rcnn_train_step(model, cfg, stage=stage))
@@ -200,5 +204,10 @@ class Trainer:
                         if jnp.ndim(v) == 0}
                 self.log_fn(f"step {i}: " + " ".join(
                     f"{k}={v:.4f}" for k, v in sorted(vals.items())))
+                if self.writer is not None:
+                    self.writer.write(i, vals)
                 history.append(vals)
+        if self.writer is not None:
+            self.writer.close()
+            self.writer = None
         return history
