@@ -14,7 +14,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ws3d_tpu.models.layers import SharedMLP
-from ws3d_tpu.ops.grouping import group_all, query_and_group
+from ws3d_tpu.ops.grouping import (group_all, query_and_group,
+                                   ball_query_multi, group_with_idx)
 from ws3d_tpu.ops.interpolate import interpolate_features
 from ws3d_tpu.ops.sampling import furthest_point_sample, gather_points
 
@@ -44,12 +45,17 @@ class PointnetSAModuleMSG(nn.Module):
         else:
             new_xyz = None
 
+        if self.npoint is not None:
+            # one shared distance matrix across the radius scales
+            idx_per_scale = ball_query_multi(
+                [float(r) for r in self.radii],
+                [int(s) for s in self.nsamples], xyz, new_xyz,
+                chunk=self.bq_chunk)
         outs = []
         for i in range(len(self.radii)):
             if self.npoint is not None:
-                grouped = query_and_group(
-                    self.radii[i], self.nsamples[i], xyz, new_xyz, features,
-                    use_xyz=self.use_xyz, chunk=self.bq_chunk)
+                grouped = group_with_idx(idx_per_scale[i], xyz, new_xyz,
+                                         features, use_xyz=self.use_xyz)
             else:
                 grouped = group_all(xyz, features, use_xyz=self.use_xyz)
             # (B, M, S, Cin) -> MLP -> max over S

@@ -86,17 +86,54 @@ def first_k_true_indices(mask: jnp.ndarray, k: int,
     return idx.reshape(lead + (k,)).astype(jnp.int32)
 
 
-def _ball_query_chunk(new_xyz_c: jnp.ndarray, xyz: jnp.ndarray,
-                      radius: float, nsample: int) -> jnp.ndarray:
-    """new_xyz_c (B, Mc, 3), xyz (B, N, 3) -> (B, Mc, nsample) int32."""
-    N = xyz.shape[1]
-    d2 = _pairwise_sqdist(new_xyz_c, xyz)                          # (B, Mc, N)
+def _select_in_ball(d2: jnp.ndarray, radius: float,
+                    nsample: int) -> jnp.ndarray:
+    """d2 (B, Mc, N) -> (B, Mc, nsample) first-k in-radius indices with the
+    CUDA first-index padding / zero-on-empty semantics."""
+    N = d2.shape[-1]
     in_ball = d2 < radius * radius
     idx = first_k_true_indices(in_ball, nsample)      # invalid slots -> N
     valid = idx < N
     first = idx[..., 0:1]
     idx = jnp.where(valid, idx, first)                              # pad w/ first
     return jnp.where(first < N, idx, 0).astype(jnp.int32)           # empty -> 0
+
+
+def _ball_query_chunk(new_xyz_c: jnp.ndarray, xyz: jnp.ndarray,
+                      radius: float, nsample: int) -> jnp.ndarray:
+    """new_xyz_c (B, Mc, 3), xyz (B, N, 3) -> (B, Mc, nsample) int32."""
+    d2 = _pairwise_sqdist(new_xyz_c, xyz)                          # (B, Mc, N)
+    return _select_in_ball(d2, radius, nsample)
+
+
+def _ball_query_chunk_multi(new_xyz_c, xyz, radii, nsamples):
+    """Multi-scale variant sharing ONE distance matrix across radius scales
+    (the reference recomputes per scale — pointnet2_modules.py:40-55)."""
+    d2 = _pairwise_sqdist(new_xyz_c, xyz)
+    return tuple(_select_in_ball(d2, r, s) for r, s in zip(radii, nsamples))
+
+
+def ball_query_multi(radii, nsamples, xyz: jnp.ndarray, new_xyz: jnp.ndarray,
+                     chunk: int = 512):
+    """Per-scale index lists with a shared distance matrix.
+
+    :return: tuple of (B, M, nsamples[i]) int32, one per scale.
+    """
+    B, M, _ = new_xyz.shape
+    chunk = min(chunk, M)
+    if M % chunk != 0:
+        chunk = M
+    n_chunks = M // chunk
+    if n_chunks == 1:
+        return _ball_query_chunk_multi(new_xyz, xyz, radii, nsamples)
+    chunks = new_xyz.reshape(B, n_chunks, chunk, 3).swapaxes(0, 1)
+    outs = jax.lax.map(
+        functools.partial(_ball_query_chunk_multi, xyz=xyz, radii=tuple(radii),
+                          nsamples=tuple(nsamples)),
+        chunks,
+    )
+    return tuple(o.swapaxes(0, 1).reshape(B, M, s)
+                 for o, s in zip(outs, nsamples))
 
 
 def ball_query(radius: float, nsample: int, xyz: jnp.ndarray,
@@ -127,14 +164,10 @@ def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(lambda p, i: p[i])(points, idx)
 
 
-def query_and_group(radius: float, nsample: int, xyz: jnp.ndarray,
-                    new_xyz: jnp.ndarray, features: jnp.ndarray | None,
-                    use_xyz: bool = True, chunk: int = 512) -> jnp.ndarray:
-    """QueryAndGroup (pointnet2_utils.py:231-268) in channel-last layout.
-
-    :return: (B, M, nsample, 3+C) — center-relative xyz concat features.
-    """
-    idx = ball_query(radius, nsample, xyz, new_xyz, chunk=chunk)
+def group_with_idx(idx: jnp.ndarray, xyz: jnp.ndarray,
+                   new_xyz: jnp.ndarray, features: jnp.ndarray | None,
+                   use_xyz: bool = True) -> jnp.ndarray:
+    """Gather + center-subtract + concat for a precomputed index set."""
     grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
     if features is None:
         assert use_xyz, "cannot have no features and not use xyz"
@@ -143,6 +176,17 @@ def query_and_group(radius: float, nsample: int, xyz: jnp.ndarray,
     if use_xyz:
         return jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
     return grouped_feats
+
+
+def query_and_group(radius: float, nsample: int, xyz: jnp.ndarray,
+                    new_xyz: jnp.ndarray, features: jnp.ndarray | None,
+                    use_xyz: bool = True, chunk: int = 512) -> jnp.ndarray:
+    """QueryAndGroup (pointnet2_utils.py:231-268) in channel-last layout.
+
+    :return: (B, M, nsample, 3+C) — center-relative xyz concat features.
+    """
+    idx = ball_query(radius, nsample, xyz, new_xyz, chunk=chunk)
+    return group_with_idx(idx, xyz, new_xyz, features, use_xyz=use_xyz)
 
 
 def group_all(xyz: jnp.ndarray, features: jnp.ndarray | None,
