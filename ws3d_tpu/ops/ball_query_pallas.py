@@ -1,0 +1,154 @@
+"""Fused multi-scale ball query as a Pallas TPU kernel.
+
+One kernel computes, per query tile, the squared-distance block to ALL
+points (VMEM-resident, never hits HBM), then runs the two-level rank search
+for EVERY radius scale from that single distance block:
+
+  1. within-128-tile prefix sums via an MXU matmul with a lower-triangular
+     ones matrix,
+  2. cross-tile cumulative counts via a second small lower-tri matmul,
+  3. slot -> tile lookup with vectorized compares,
+  4. the selected tile's prefix row extracted with a batched one-hot matmul
+     (MXU) — no scalar gathers anywhere.
+
+Semantics identical to ws3d_tpu.ops.grouping: first `nsample` in-radius
+indices in ascending order, pad-with-first, zero-on-empty
+(ball_query_gpu.cu:9-67 parity).
+
+Layout notes: points arrive as (B, 1, T, 128) per coordinate, queries as
+(B, M/MT, MT, 1) — shapes chosen so every BlockSpec satisfies the TPU
+(8, 128) tiling rules; grid = (B, M/MT).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+LANE = 128
+
+
+def _kernel(radii, nsamples, n_total,
+            qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref, *out_refs):
+    MT = qx_ref.shape[2]
+    _, _, T, _ = px_ref.shape
+    N = T * LANE
+
+    qx, qy, qz = qx_ref[0, 0], qy_ref[0, 0], qz_ref[0, 0]   # (MT, 1)
+    px, py, pz = px_ref[0, 0], py_ref[0, 0], pz_ref[0, 0]   # (T, 128)
+
+    # d2 (MT, T, 128): query on the leading axis, points on (tile, lane)
+    dx = qx[:, :, None] - px[None, :, :]
+    dy = qy[:, :, None] - py[None, :, :]
+    dz = qz[:, :, None] - pz[None, :, :]
+    d2 = dx * dx + dy * dy + dz * dz
+
+    # lower-triangular (inclusive) ones matrices for prefix sums
+    li = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+    L128 = (lj <= li).astype(jnp.float32).T               # col j <= row i
+    ti = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    tj = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    LT = (tj <= ti).astype(jnp.float32).T
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, LANE), 1)
+    tile_iota = jax.lax.broadcasted_iota(jnp.int32, (T, LANE), 0)
+    col_global = (tile_iota * LANE + lane_iota)           # (T, 128)
+
+    for scale, (radius, k) in enumerate(zip(radii, nsamples)):
+        maskf = (d2 < radius * radius).astype(jnp.float32)   # (MT, T, 128)
+        # inclusive prefix within each 128-tile: (MT, T, 128) @ (128, 128)
+        prefix = jax.lax.dot_general(
+            maskf, L128, (((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)            # (MT, T, 128)
+        tile_sum = prefix[..., LANE - 1]                    # (MT, T)
+        tile_end = jax.lax.dot_general(
+            tile_sum, LT, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)            # (MT, T)
+        tile_base = tile_end - tile_sum
+
+        targets = (jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+                   + 1).astype(jnp.float32)                 # (1, k)
+        targets_k1 = (jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+                      + 1).astype(jnp.float32)              # (k, 1)
+        # tile holding slot s: #{tiles with tile_end < target} -> (MT, k, T)
+        lt = tile_end[:, None, :] < targets_k1[None, :, :]
+        tile_j = jnp.sum(lt.astype(jnp.float32), axis=-1)   # (MT, k) float
+        overflow = tile_j >= T
+        tile_jc = jnp.minimum(tile_j, T - 1)
+
+        t_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (MT, k, T), 2).astype(jnp.float32)
+        onehot = (t_iota == tile_jc[:, :, None]).astype(jnp.float32)
+        base = jnp.sum(onehot * tile_base[:, None, :], axis=-1)   # (MT, k)
+        # selected tile's prefix row: (MT, k, T) @ (MT, T, 128) batched
+        sel_prefix = jax.lax.dot_general(
+            onehot, prefix, (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)             # (MT, k, 128)
+        local_target = targets - base                        # (MT, k)
+        off = jnp.sum((sel_prefix < local_target[:, :, None])
+                      .astype(jnp.float32), axis=-1)         # (MT, k)
+        idx = (tile_jc * LANE + off).astype(jnp.int32)
+        idx = jnp.where(overflow, n_total, idx)
+
+        valid = idx < n_total
+        first = idx[:, 0:1]
+        idx = jnp.where(valid, idx, first)
+        idx = jnp.where(first < n_total, idx, 0)
+        out_refs[scale][0, 0, :, :] = idx.astype(jnp.int32)
+
+
+def ball_query_pallas(radii: Sequence[float], nsamples: Sequence[int],
+                      xyz: jnp.ndarray, new_xyz: jnp.ndarray,
+                      interpret: bool = False) -> Tuple[jnp.ndarray, ...]:
+    """Multi-scale ball query. xyz (B, N, 3), new_xyz (B, M, 3) ->
+    tuple of (B, M, nsamples[i]) int32. Requires N % 128 == 0 and
+    M % 8 == 0."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    assert N % LANE == 0 and M % 8 == 0
+    T = N // LANE
+    MT = 16 if M % 16 == 0 else 8
+
+    def coord(a, i):
+        return a[..., i].astype(jnp.float32)
+
+    px = coord(xyz, 0).reshape(B, 1, T, LANE)
+    py = coord(xyz, 1).reshape(B, 1, T, LANE)
+    pz = coord(xyz, 2).reshape(B, 1, T, LANE)
+    qx = coord(new_xyz, 0).reshape(B, M // MT, MT, 1)
+    qy = coord(new_xyz, 1).reshape(B, M // MT, MT, 1)
+    qz = coord(new_xyz, 2).reshape(B, M // MT, MT, 1)
+
+    qspec = pl.BlockSpec((1, 1, MT, 1), lambda b, m: (b, m, 0, 0),
+                         memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((1, 1, T, LANE), lambda b, m: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out_specs = tuple(
+        pl.BlockSpec((1, 1, MT, int(k)), lambda b, m: (b, m, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for k in nsamples)
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((B, M // MT, MT, int(k)), jnp.int32)
+        for k in nsamples)
+
+    outs = pl.pallas_call(
+        functools.partial(_kernel, tuple(float(r) for r in radii),
+                          tuple(int(k) for k in nsamples), N),
+        grid=(B, M // MT),
+        in_specs=[qspec, qspec, qspec, pspec, pspec, pspec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(qx, qy, qz, px, py, pz)
+    if not isinstance(outs, (tuple, list)):
+        outs = (outs,)
+    return tuple(o.reshape(B, M, -1) for o in outs)

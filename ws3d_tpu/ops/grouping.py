@@ -25,14 +25,17 @@ import jax.numpy as jnp
 def _pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """a (..., M, 3), b (..., N, 3) -> (..., M, N) squared distances.
 
-    Written as |a|^2 + |b|^2 - 2ab so the cross term is a batched matmul that
-    XLA places on the MXU.
+    Computed as three broadcast (a-b)^2 passes on the VPU rather than the
+    |a|^2 - 2ab + |b|^2 MXU form: a K=3 contraction wastes the 128-wide
+    systolic array AND TPU matmuls default to bf16 multiplies, which
+    perturbs the radius test near the boundary (exactness matters for
+    CUDA-parity of the in-ball masks).
     """
-    a2 = jnp.sum(jnp.square(a), axis=-1, keepdims=True)           # (..., M, 1)
-    b2 = jnp.sum(jnp.square(b), axis=-1, keepdims=True)           # (..., N, 1)
-    cross = jnp.einsum("...mc,...nc->...mn", a, b,
-                       preferred_element_type=a.dtype)
-    return a2 - 2.0 * cross + jnp.swapaxes(b2, -1, -2)
+    d = None
+    for c in range(3):
+        dc = a[..., :, None, c] - b[..., None, :, c]
+        d = dc * dc if d is None else d + dc * dc
+    return d
 
 
 def first_k_true_indices(mask: jnp.ndarray, k: int,
@@ -113,13 +116,28 @@ def _ball_query_chunk_multi(new_xyz_c, xyz, radii, nsamples):
     return tuple(_select_in_ball(d2, r, s) for r, s in zip(radii, nsamples))
 
 
+def _use_pallas(N: int, M: int) -> bool:
+    try:
+        backend = jax.default_backend()
+    except Exception:                                       # pragma: no cover
+        return False
+    return backend in ("tpu", "axon") and N % 128 == 0 and M % 8 == 0
+
+
 def ball_query_multi(radii, nsamples, xyz: jnp.ndarray, new_xyz: jnp.ndarray,
                      chunk: int = 512):
     """Per-scale index lists with a shared distance matrix.
 
+    On TPU (and 128-aligned N) this dispatches to the fused Pallas kernel
+    (ws3d_tpu.ops.ball_query_pallas — ~5x the XLA path at SA-1 scale);
+    elsewhere to the chunked XLA implementation.
+
     :return: tuple of (B, M, nsamples[i]) int32, one per scale.
     """
     B, M, _ = new_xyz.shape
+    if _use_pallas(xyz.shape[1], M):
+        from ws3d_tpu.ops.ball_query_pallas import ball_query_pallas
+        return ball_query_pallas(radii, nsamples, xyz, new_xyz)
     chunk = min(chunk, M)
     if M % chunk != 0:
         chunk = M
@@ -143,6 +161,9 @@ def ball_query(radius: float, nsample: int, xyz: jnp.ndarray,
     :return: (B, M, nsample) int32 indices into N
     """
     B, M, _ = new_xyz.shape
+    if _use_pallas(xyz.shape[1], M):
+        from ws3d_tpu.ops.ball_query_pallas import ball_query_pallas
+        return ball_query_pallas([radius], [nsample], xyz, new_xyz)[0]
     chunk = min(chunk, M)
     if M % chunk != 0:
         chunk = M  # fall back to a single tile for irregular sizes
