@@ -43,6 +43,10 @@ def _three_nn_chunk(unknown_c: jnp.ndarray, known: jnp.ndarray):
 def three_nn(unknown: jnp.ndarray, known: jnp.ndarray, chunk: int = 2048):
     """unknown (B, n, 3), known (B, m, 3) -> (dist2 (B, n, 3), idx (B, n, 3))."""
     B, n, _ = unknown.shape
+    from ws3d_tpu.ops.grouping import _use_pallas
+    if _use_pallas(known.shape[1], n):
+        from ws3d_tpu.ops.three_nn_pallas import three_nn_pallas
+        return three_nn_pallas(unknown, known)
     chunk = min(chunk, n)
     if n % chunk != 0:
         chunk = n

@@ -36,61 +36,86 @@ def _fps_scan(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
 
 
 def _fps_pallas_kernel(npoint, x_ref, y_ref, z_ref, out_ref, mind_ref):
-    """One batch row per grid program. Point coordinates arrive as
-    (1, 8, N/8) VMEM tiles (TPU lane layout); the min-distance cache stays in
-    VMEM for the whole sweep; the last-picked coordinates are recovered each
-    iteration with a masked reduction (no dynamic scalar gather); the picked
-    indices stream to an SMEM output row."""
-    _, R, C = x_ref.shape
-    N = R * C
-    # linear original index of element (r, c) is r*C + c (row-major reshape)
-    iota = (jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) * C
-            + jax.lax.broadcasted_iota(jnp.int32, (R, C), 1))
-    x, y, z = x_ref[0], y_ref[0], z_ref[0]
-    mind_ref[...] = jnp.full((R, C), 1e10, jnp.float32)
-    out_ref[0, 0, 0] = 0
+    """ALL batch rows advance together: rows (batch elements) live on the
+    sublane axis, points on the lane axis, so each of the npoint sequential
+    iterations does row-parallel masked reductions for the whole block —
+    sequential depth is npoint, not B * npoint. The min-distance cache stays
+    in VMEM for the whole sweep; picked indices stream to VMEM columns."""
+    R, N = x_ref.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (R, N), 1)
+    x, y, z = x_ref[...], y_ref[...], z_ref[...]
+    mind_ref[...] = jnp.full((R, N), 1e10, jnp.float32)
 
-    def body(i, last):
-        sel = iota == last
-        lx = jnp.max(jnp.where(sel, x, -jnp.inf))
-        ly = jnp.max(jnp.where(sel, y, -jnp.inf))
-        lz = jnp.max(jnp.where(sel, z, -jnp.inf))
+    # Mosaic cannot store at a dynamic lane offset, so picks accumulate in a
+    # (R, CH) pending buffer (select-by-lane) and flush once per 128-aligned
+    # chunk.
+    CH = 128 if npoint % 128 == 0 else npoint
+    ch_iota = jax.lax.broadcasted_iota(jnp.int32, (R, CH), 1)
+
+    def step(i, last, pending):
+        sel = iota == last[:, None]
+        lx = jnp.max(jnp.where(sel, x, -jnp.inf), axis=1, keepdims=True)
+        ly = jnp.max(jnp.where(sel, y, -jnp.inf), axis=1, keepdims=True)
+        lz = jnp.max(jnp.where(sel, z, -jnp.inf), axis=1, keepdims=True)
         d2 = (jnp.square(x - lx) + jnp.square(y - ly) + jnp.square(z - lz))
         mind = jnp.minimum(mind_ref[...], d2)
         mind_ref[...] = mind
-        best = jnp.max(mind)
-        nxt = jnp.min(jnp.where(mind == best, iota, N)).astype(jnp.int32)
-        out_ref[0, 0, i] = nxt
-        return nxt
+        best = jnp.max(mind, axis=1, keepdims=True)
+        nxt = jnp.min(jnp.where(mind == best, iota, N), axis=1).astype(
+            jnp.int32)
+        pending = jnp.where(ch_iota == (i % CH), nxt[:, None], pending)
+        return nxt, pending
 
-    jax.lax.fori_loop(1, npoint, body, jnp.int32(0))
+    def chunk_body(c, last):
+        pending = jnp.zeros((R, CH), jnp.int32)
+
+        def inner(j, st):
+            lastj, pending = st
+            i = c * CH + j
+            # i == 0 is the fixed seed index 0 (sampling_gpu.cu semantics)
+            nxt, pending2 = step(i, lastj, pending)
+            nxt = jnp.where(i == 0, jnp.zeros((R,), jnp.int32), nxt)
+            pending2 = jnp.where((i == 0) & (ch_iota == 0), 0, pending2)
+            return nxt, pending2
+
+        last, pending = jax.lax.fori_loop(0, CH, inner, (last, pending))
+        out_ref[:, pl.ds(pl.multiple_of(c * CH, CH), CH)] = pending
+        return last
+
+    jax.lax.fori_loop(0, npoint // CH, chunk_body,
+                      jnp.zeros((R,), jnp.int32))
 
 
-def _fps_pallas(xyz: jnp.ndarray, npoint: int,
+from jax.experimental import pallas as pl  # noqa: E402  - used in kernel
+
+
+def _fps_pallas(xyz: jnp.ndarray, npoint: int, rows_per_program: int = 32,
                 interpret: bool = False) -> jnp.ndarray:
-    from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, _ = xyz.shape
-    assert N % 8 == 0, "pallas FPS requires N % 8 == 0"
-    C = N // 8
-    x = xyz[..., 0].astype(jnp.float32).reshape(B, 8, C)
-    y = xyz[..., 1].astype(jnp.float32).reshape(B, 8, C)
-    z = xyz[..., 2].astype(jnp.float32).reshape(B, 8, C)
-    tile = pl.BlockSpec((1, 8, C), lambda b: (b, 0, 0),
-                        memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 1, npoint), lambda b: (b, 0, 0),
-                            memory_space=pltpu.SMEM)
+    R = min(rows_per_program, max(8, B))
+    pad = (-B) % R
+    if pad:
+        xyz = jnp.concatenate(
+            [xyz, jnp.broadcast_to(xyz[:1], (pad,) + xyz.shape[1:])], axis=0)
+    BP = xyz.shape[0]
+    x = xyz[..., 0].astype(jnp.float32)
+    y = xyz[..., 1].astype(jnp.float32)
+    z = xyz[..., 2].astype(jnp.float32)
+    tile = pl.BlockSpec((R, N), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((R, npoint), lambda b: (b, 0),
+                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_fps_pallas_kernel, npoint),
-        grid=(B,),
+        grid=(BP // R,),
         in_specs=[tile, tile, tile],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 1, npoint), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((8, C), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((BP, npoint), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((R, N), jnp.float32)],
         interpret=interpret,
     )(x, y, z)
-    return out.reshape(B, npoint)
+    return out[:B]
 
 
 def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:

@@ -1,0 +1,87 @@
+"""Fused 3-nearest-neighbor search as a Pallas TPU kernel.
+
+Feature-propagation companion to ball_query_pallas: per query tile the
+(MT, m) squared-distance block lives in VMEM and three masked-min passes
+extract the running top-3 (lowest index wins ties — the CUDA running-top-3
+semantics, interpolate_gpu.cu:30-49). Returns SQUARED distances like the
+reference kernel.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+LANE = 128
+
+
+def _kernel(m_total, qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
+            dist_ref, idx_ref):
+    MT = qx_ref.shape[2]
+    T = px_ref.shape[2]
+
+    qx, qy, qz = qx_ref[0, 0], qy_ref[0, 0], qz_ref[0, 0]   # (MT, 1)
+    px, py, pz = px_ref[0, 0], py_ref[0, 0], pz_ref[0, 0]   # (T, 128)
+
+    dx = qx[:, :, None] - px[None, :, :]
+    dy = qy[:, :, None] - py[None, :, :]
+    dz = qz[:, :, None] - pz[None, :, :]
+    d2 = dx * dx + dy * dy + dz * dz                        # (MT, T, 128)
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, LANE), 1)
+    tile_iota = jax.lax.broadcasted_iota(jnp.int32, (T, LANE), 0)
+    col = (tile_iota * LANE + lane_iota)[None]              # (1, T, 128)
+    col_b = jnp.broadcast_to(col, d2.shape)
+
+    cur = d2
+    for s in range(3):
+        best = jnp.min(jnp.min(cur, axis=2), axis=1)         # (MT,)
+        pick = jnp.min(jnp.min(
+            jnp.where(cur == best[:, None, None], col_b, m_total),
+            axis=2), axis=1).astype(jnp.int32)               # (MT,)
+        dist_ref[0, 0, :, s] = best
+        idx_ref[0, 0, :, s] = pick
+        cur = jnp.where(col_b == pick[:, None, None], jnp.inf, cur)
+
+
+def three_nn_pallas(unknown: jnp.ndarray, known: jnp.ndarray,
+                    interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """unknown (B, n, 3), known (B, m, 3) -> (dist2 (B, n, 3), idx (B, n, 3)).
+    Requires m % 128 == 0 and n % 8 == 0."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, n, _ = unknown.shape
+    m = known.shape[1]
+    assert m % LANE == 0 and n % 8 == 0
+    T = m // LANE
+    MT = 16 if n % 16 == 0 else 8
+
+    def coord(a, i):
+        return a[..., i].astype(jnp.float32)
+
+    qx = coord(unknown, 0).reshape(B, n // MT, MT, 1)
+    qy = coord(unknown, 1).reshape(B, n // MT, MT, 1)
+    qz = coord(unknown, 2).reshape(B, n // MT, MT, 1)
+    px = coord(known, 0).reshape(B, 1, T, LANE)
+    py = coord(known, 1).reshape(B, 1, T, LANE)
+    pz = coord(known, 2).reshape(B, 1, T, LANE)
+
+    qspec = pl.BlockSpec((1, 1, MT, 1), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((1, 1, T, LANE), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, 1, MT, 3), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dist, idx = pl.pallas_call(
+        functools.partial(_kernel, m),
+        grid=(B, n // MT),
+        in_specs=[qspec, qspec, qspec, pspec, pspec, pspec],
+        out_specs=(ospec, ospec),
+        out_shape=(jax.ShapeDtypeStruct((B, n // MT, MT, 3), jnp.float32),
+                   jax.ShapeDtypeStruct((B, n // MT, MT, 3), jnp.int32)),
+        interpret=interpret,
+    )(qx, qy, qz, px, py, pz)
+    return dist.reshape(B, n, 3), idx.reshape(B, n, 3)
