@@ -66,7 +66,7 @@ def _fps_pallas_kernel(npoint, x_ref, y_ref, z_ref, out_ref, mind_ref):
         pending = jnp.where(ch_iota == (i % CH), nxt[:, None], pending)
         return nxt, pending
 
-    def chunk_body(c, last):
+    def run_chunk(c, last):
         pending = jnp.zeros((R, CH), jnp.int32)
 
         def inner(j, st):
@@ -78,12 +78,21 @@ def _fps_pallas_kernel(npoint, x_ref, y_ref, z_ref, out_ref, mind_ref):
             pending2 = jnp.where((i == 0) & (ch_iota == 0), 0, pending2)
             return nxt, pending2
 
-        last, pending = jax.lax.fori_loop(0, CH, inner, (last, pending))
-        out_ref[:, pl.ds(pl.multiple_of(c * CH, CH), CH)] = pending
-        return last
+        return jax.lax.fori_loop(0, CH, inner, (last, pending))
 
-    jax.lax.fori_loop(0, npoint // CH, chunk_body,
-                      jnp.zeros((R,), jnp.int32))
+    if npoint == CH:
+        # single chunk: static full-width store (Mosaic cannot prove
+        # alignment of a loop-carried lane offset below 128)
+        _, pending = run_chunk(0, jnp.zeros((R,), jnp.int32))
+        out_ref[...] = pending
+    else:
+        def chunk_body(c, last):
+            last, pending = run_chunk(c, last)
+            out_ref[:, pl.ds(pl.multiple_of(c * CH, CH), CH)] = pending
+            return last
+
+        jax.lax.fori_loop(0, npoint // CH, chunk_body,
+                          jnp.zeros((R,), jnp.int32))
 
 
 from jax.experimental import pallas as pl  # noqa: E402  - used in kernel
