@@ -116,7 +116,16 @@ def ball_query_pallas(radii: Sequence[float], nsamples: Sequence[int],
     M = new_xyz.shape[1]
     assert N % LANE == 0 and M % 8 == 0
     T = N // LANE
-    MT = 16 if M % 16 == 0 else 8
+    # Largest query tile whose (MT, N) f32 working set stays ~<=2 MB: small
+    # crops get big tiles (fewer grid programs — launch overhead dominates
+    # at (256 crops x 256 queries x 512 points) scale), big scenes stay
+    # VMEM-safe.
+    budget = max(1024 * 1024 // (N * 4), 8)
+    MT = 8
+    for cand in (128, 64, 32, 16, 8):
+        if cand <= budget and M % cand == 0:
+            MT = cand
+            break
 
     def coord(a, i):
         return a[..., i].astype(jnp.float32)

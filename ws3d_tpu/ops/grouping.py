@@ -188,15 +188,21 @@ def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 def group_with_idx(idx: jnp.ndarray, xyz: jnp.ndarray,
                    new_xyz: jnp.ndarray, features: jnp.ndarray | None,
                    use_xyz: bool = True) -> jnp.ndarray:
-    """Gather + center-subtract + concat for a precomputed index set."""
-    grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+    """Gather + center-subtract + concat for a precomputed index set.
+
+    xyz and features are gathered with ONE row-gather from a concatenated
+    (B, N, 3+C) buffer: separate gathers leave the xyz side fetching 3-float
+    rows, which is badly lane-underutilized on TPU (measured ~2x the cost of
+    the fused gather at stage-2 crop scale)."""
     if features is None:
         assert use_xyz, "cannot have no features and not use xyz"
-        return grouped_xyz
-    grouped_feats = group_points(features, idx)
-    if use_xyz:
-        return jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
-    return grouped_feats
+        return group_points(xyz, idx) - new_xyz[:, :, None, :]
+    if not use_xyz:
+        return group_points(features, idx)
+    combined = jnp.concatenate([xyz, features], axis=-1)     # (B, N, 3+C)
+    grouped = group_points(combined, idx)                    # (B, M, S, 3+C)
+    centered = grouped[..., :3] - new_xyz[:, :, None, :]
+    return jnp.concatenate([centered, grouped[..., 3:]], axis=-1)
 
 
 def query_and_group(radius: float, nsample: int, xyz: jnp.ndarray,

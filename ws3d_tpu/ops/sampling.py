@@ -98,11 +98,17 @@ def _fps_pallas_kernel(npoint, x_ref, y_ref, z_ref, out_ref, mind_ref):
 from jax.experimental import pallas as pl  # noqa: E402  - used in kernel
 
 
-def _fps_pallas(xyz: jnp.ndarray, npoint: int, rows_per_program: int = 32,
+def _fps_pallas(xyz: jnp.ndarray, npoint: int,
+                rows_per_program: int | None = None,
                 interpret: bool = False) -> jnp.ndarray:
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, _ = xyz.shape
+    if rows_per_program is None:
+        # as many batch rows per program as ~2 MB of VMEM per buffer allows:
+        # sequential iteration count is npoint * ceil(B/R), so bigger R
+        # directly cuts the sweep count for many-small-cloud workloads
+        rows_per_program = max(min(2 * 1024 * 1024 // (N * 4), 128), 8)
     R = min(rows_per_program, max(8, B))
     pad = (-B) % R
     if pad:

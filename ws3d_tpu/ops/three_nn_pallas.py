@@ -57,7 +57,12 @@ def three_nn_pallas(unknown: jnp.ndarray, known: jnp.ndarray,
     m = known.shape[1]
     assert m % LANE == 0 and n % 8 == 0
     T = m // LANE
-    MT = 16 if n % 16 == 0 else 8
+    budget = max(2 * 1024 * 1024 // (m * 4), 8)
+    MT = 8
+    for cand in (128, 64, 32, 16, 8):
+        if cand <= budget and n % cand == 0:
+            MT = cand
+            break
 
     def coord(a, i):
         return a[..., i].astype(jnp.float32)
