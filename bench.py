@@ -13,9 +13,9 @@ import time
 
 import numpy as np
 
-BATCH = 4          # scenes per device batch
+BATCH = 8          # scenes per device batch
 WARMUP = 1
-ITERS = 8
+ITERS = 6
 BASELINE_SCENES_PER_SEC = 200.0
 
 
