@@ -58,6 +58,10 @@ def main():
     p.add_argument("--points", type=int, default=None)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--no_ap", action="store_true")
+    p.add_argument("--rpn_ckpt", type=str, default=None,
+                   help="separate stage-1 ckpt to stack with --ckpt (the\n"
+                        "reference stacks RPN + RCNN ckpts the same way,\n"
+                        "eval_active.py:677-703)")
     args = p.parse_args()
     cfg, log = setup(args)
     cfg.RCNN.ENABLED = True
@@ -85,6 +89,10 @@ def main():
         variables = load_part_checkpoint(variables, args.ckpt,
                                          subtrees=("rpn", "rcnn"))
         log.info("loaded ckpt %s", args.ckpt)
+    if args.rpn_ckpt:
+        variables = load_part_checkpoint(variables, args.rpn_ckpt,
+                                         subtrees=("rpn",))
+        log.info("loaded rpn ckpt %s", args.rpn_ckpt)
 
     fn = jax.jit(make_two_stage_fn(model, cfg))
     out_dir = os.path.join(args.output_dir, "final_result", "data")

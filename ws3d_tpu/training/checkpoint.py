@@ -54,22 +54,37 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         return pickle.load(f)
 
 
+def _merge_subtree(fresh, loaded):
+    """Recursive graft: loaded leaves win where present; fresh leaves fill
+    anything the checkpoint lacks (e.g. IOUN cascade heads when loading an
+    RCNN-only pretrain — the reference's key-filtered state-dict update has
+    the same keep-missing behavior, train_utils.py:102-118)."""
+    if not isinstance(loaded, dict) or not isinstance(fresh, dict):
+        return loaded
+    out = dict(fresh)
+    for k, v in loaded.items():
+        out[k] = _merge_subtree(fresh[k], v) if k in fresh else v
+    return out
+
+
 def load_part_checkpoint(variables: Dict[str, Any], path: str,
                          subtrees=("rpn", "rcnn")) -> Dict[str, Any]:
     """Graft matching top-level param subtrees from a checkpoint into
     `variables` (load_part_ckpt, train_utils.py:102-118): used to stack an
-    RPN ckpt with an RCNN/IOUN ckpt for joint two-stage eval."""
+    RPN ckpt with an RCNN/IOUN ckpt for joint two-stage eval, or to warm an
+    IOUN model from an RCNN-only pretrain (missing keys stay fresh)."""
     ckpt = load_checkpoint(path)
     out_params = dict(variables["params"])
     for key in subtrees:
         if key in ckpt["params"] and key in out_params:
-            out_params[key] = ckpt["params"][key]
+            out_params[key] = _merge_subtree(out_params[key],
+                                             ckpt["params"][key])
     out = dict(variables)
     out["params"] = out_params
     if "batch_stats" in variables and ckpt.get("batch_stats"):
         bs = dict(variables["batch_stats"])
         for key in subtrees:
             if key in ckpt["batch_stats"] and key in bs:
-                bs[key] = ckpt["batch_stats"][key]
+                bs[key] = _merge_subtree(bs[key], ckpt["batch_stats"][key])
         out["batch_stats"] = bs
     return out
