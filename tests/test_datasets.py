@@ -90,3 +90,37 @@ def test_rpn_dataset_batches():
     ds_eval = RPNDataset(src, cfg, mode="EVAL", npoints=512)
     s = ds_eval.get_sample(0)
     assert set(np.unique(s["rpn_cls_label"])).issubset({-1.0, 0.0, 1.0})
+
+
+def test_gt_database_augmentation():
+    from ws3d_tpu.datasets.gt_database import build_gt_database, apply_gt_aug
+    src = SyntheticKitti(num_scenes=6, points_per_scene=4000, seed=4)
+    easy, hard = build_gt_database(src, src.sample_ids[:4])
+    assert len(easy) + len(hard) > 0
+    scene = src.get_scene(5)
+    pts = scene.pts_rect
+    inten = scene.pts_intensity
+    import numpy as _np
+    from ws3d_tpu.datasets.kitti_io import objs_to_boxes3d
+    gts = objs_to_boxes3d(scene.labels)
+    rng = _np.random.RandomState(0)
+    p2, i2, extra = apply_gt_aug(pts, inten, gts, easy, hard, rng)
+    assert extra.shape[0] > 0
+    assert p2.shape[0] == i2.shape[0]
+    # inserted centers respect the sparse-distance gate vs the originals
+    for e in extra:
+        d = _np.hypot(gts[:, 0] - e[0], gts[:, 2] - e[2]).min()
+        assert d > 8.0 - 1e-6
+
+
+def test_rpn_dataset_with_gt_aug():
+    from ws3d_tpu.datasets.gt_database import build_gt_database
+    cfg = load_config()
+    cfg.RPN.NUM_POINTS = 512
+    src = SyntheticKitti(num_scenes=6, points_per_scene=3000, seed=2)
+    db = build_gt_database(src, src.sample_ids[:3])
+    ds = RPNDataset(src, cfg, mode="TRAIN", npoints=512, gt_database=db)
+    s = ds.get_sample(4)
+    assert s["pts_input"].shape == (512, 4)
+    # augmented scenes can exceed the original gt count
+    assert s["gt_count"] >= 1

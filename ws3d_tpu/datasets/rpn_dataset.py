@@ -167,12 +167,15 @@ class RPNDataset:
 
     def __init__(self, source, cfg, mode: str = "TRAIN",
                  npoints: Optional[int] = None, weakly_num: Optional[int] = None,
-                 seed: int = 0):
+                 seed: int = 0, gt_database=None):
         self.source = source
         self.cfg = cfg
         self.mode = mode
         self.npoints = npoints or cfg.RPN.NUM_POINTS
         self.rng = np.random.RandomState(seed)
+        # (easy_db, hard_db) from gt_database.build_gt_database — enables the
+        # copy-paste GT augmentation (cfg.GT_AUG_ENABLED)
+        self.gt_database = gt_database
         ids = list(source.sample_ids)
         if weakly_num is not None and mode == "TRAIN":
             # reference keeps the first weakly_num non-empty scenes
@@ -198,6 +201,17 @@ class RPNDataset:
         pts_rect = scene.calib.lidar_to_rect(pts_lidar[:, 0:3])
         intensity = pts_lidar[:, 3]
 
+        extra_boxes = np.zeros((0, 7), np.float32)
+        if (self.mode == "TRAIN" and cfg.GT_AUG_ENABLED
+                and self.gt_database is not None
+                and self.rng.rand() < cfg.GT_AUG_APPLY_PROB):
+            from ws3d_tpu.datasets.gt_database import apply_gt_aug
+            noise_boxes = objs_to_boxes3d(
+                [o for o in scene.noise_labels if o.cls_type in ("Car", "Van")])
+            pts_rect, intensity, extra_boxes = apply_gt_aug(
+                pts_rect, intensity, noise_boxes, self.gt_database[0],
+                self.gt_database[1], self.rng)
+
         pts_img, depth = scene.calib.rect_to_img(pts_rect)
         ok = valid_point_mask(pts_rect, pts_img, depth, scene.image_shape,
                               cfg.PC_AREA_SCOPE if cfg.PC_REDUCE_BY_RANGE else None)
@@ -215,6 +229,9 @@ class RPNDataset:
         gt_objs = scene.noise_labels if self.mode == "TRAIN" else scene.labels
         gt_objs = [o for o in gt_objs if o.cls_type in ("Car", "Van")]
         gt_boxes3d = objs_to_boxes3d(gt_objs)
+        if extra_boxes.shape[0]:
+            gt_boxes3d = (np.concatenate([gt_boxes3d, extra_boxes])
+                          if gt_boxes3d.shape[0] else extra_boxes)
 
         if self.mode == "TRAIN" and cfg.AUG_DATA:
             aug_pts, gt_boxes3d, _ = augment_scene(
