@@ -64,6 +64,7 @@ def main():
                                          subtrees=("rcnn",))
         log.info("loaded ckpt %s", args.ckpt)
 
+    variables = jax.device_put(variables)   # pin once: restored ckpts are host numpy
     K = args.max_hypotheses
 
     @jax.jit
@@ -86,6 +87,13 @@ def main():
             [o for o in scene.noise_labels if o.cls_type in ("Car", "Van")])
         pts_rect = scene.pts_rect
         pts = np.hstack([pts_rect, scene.pts_intensity[:, None] - 0.5])
+        # bucket-pad the point count so jit compiles O(log N) variants, not
+        # one per scene; sentinel points sit far outside any crop radius
+        n_pad = 1 << max(int(np.ceil(np.log2(max(pts.shape[0], 1024)))), 10)
+        if pts.shape[0] < n_pad:
+            pad = np.full((n_pad - pts.shape[0], pts.shape[1]), 1e4,
+                          np.float32)
+            pts = np.concatenate([pts, pad])
         if clicks.shape[0] == 0:
             save_kitti_format(scene.sample_id, scene.calib,
                               np.zeros((0, 7)), out_dir, np.zeros(0),

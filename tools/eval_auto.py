@@ -94,6 +94,7 @@ def main():
                                          subtrees=("rpn",))
         log.info("loaded rpn ckpt %s", args.rpn_ckpt)
 
+    variables = jax.device_put(variables)   # pin once: restored ckpts are host numpy
     fn = jax.jit(make_two_stage_fn(model, cfg))
     out_dir = os.path.join(args.output_dir, "final_result", "data")
 

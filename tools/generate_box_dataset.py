@@ -57,6 +57,7 @@ def main():
                                          subtrees=("rpn",))
         log.info("loaded rpn ckpt %s", args.ckpt)
 
+    variables = jax.device_put(variables)   # pin once: restored ckpts are host numpy
     @jax.jit
     def infer(pts):
         out = model.apply(variables, {"pts_input": pts[None]}, train=False,
