@@ -100,21 +100,26 @@ def main():
 
     gt_frames, det_count = [], 0
     n = min(len(ds), args.scenes)
-    for i in range(n):
-        sample = ds.get_sample(i)
-        scene = src.get_scene(ds.sample_ids[i])
-        out = jax.tree.map(np.asarray,
-                           fn(variables, jnp.asarray(
-                               sample["pts_input"][None])))
-        keep = out["keep"][0]
-        boxes = out["boxes"][0][keep]
-        scores = out["scores"][0][keep]
-        det_count += boxes.shape[0]
-        save_kitti_format(int(sample["sample_id"]), scene.calib, boxes,
-                          out_dir, scores, scene.image_shape,
-                          classes=cfg.CLASSES)
-        gt_frames.append(scene.labels)
-        log.info("scene %d: %d detections", i, boxes.shape[0])
+    bsz = max(args.batch, 1)
+    for lo in range(0, n, bsz):
+        idxs = list(range(lo, min(lo + bsz, n)))
+        samples = [ds.get_sample(i) for i in idxs]
+        stack = np.stack([s["pts_input"] for s in samples])
+        if stack.shape[0] < bsz:     # pad the tail batch to the jit shape
+            stack = np.concatenate(
+                [stack, np.repeat(stack[-1:], bsz - stack.shape[0], 0)])
+        out = jax.tree.map(np.asarray, fn(variables, jnp.asarray(stack)))
+        for j, i in enumerate(idxs):
+            scene = src.get_scene(ds.sample_ids[i])
+            keep = out["keep"][j]
+            boxes = out["boxes"][j][keep]
+            scores = out["scores"][j][keep]
+            det_count += boxes.shape[0]
+            save_kitti_format(int(samples[j]["sample_id"]), scene.calib,
+                              boxes, out_dir, scores, scene.image_shape,
+                              classes=cfg.CLASSES)
+            gt_frames.append(scene.labels)
+            log.info("scene %d: %d detections", i, boxes.shape[0])
 
     log.info("total detections: %d over %d scenes", det_count, n)
     if not args.no_ap:
