@@ -106,3 +106,19 @@ def test_scalar_writer(tmp_path):
     w.close()
     lines = open(os.path.join(str(tmp_path), "scalars.jsonl")).readlines()
     assert len(lines) == 2
+
+
+def test_prefetch_order_and_errors():
+    from ws3d_tpu.utils.prefetch import prefetch
+    assert list(prefetch(iter(range(10)), size=3)) == list(range(10))
+
+    def boom():
+        yield 1
+        raise ValueError("x")
+    it = prefetch(boom(), size=2)
+    assert next(it) == 1
+    try:
+        next(it)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass

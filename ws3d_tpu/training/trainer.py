@@ -186,7 +186,11 @@ class Trainer:
         return min(0.5 + 0.5 * (epoch + total_epochs / 3.0) / total_epochs, 1.0)
 
     def train_steps(self, batch_iter, total_steps: int,
-                    log_every: int = 10, epoch_size: Optional[int] = None):
+                    log_every: int = 10, epoch_size: Optional[int] = None,
+                    prefetch_size: int = 2):
+        from ws3d_tpu.utils.prefetch import prefetch
+        if prefetch_size:
+            batch_iter = prefetch(batch_iter, size=prefetch_size)
         history = []
         for i, batch in enumerate(batch_iter):
             if i >= total_steps:
