@@ -1,3 +1,4 @@
 from ws3d_tpu.parallel.mesh import (make_mesh, batch_sharding,
                                     replicated_sharding, shard_batch,
+                                    shard_batch_multihost,
                                     data_parallel_jit)

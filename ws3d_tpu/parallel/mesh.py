@@ -51,6 +51,25 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh,
     return jax.tree.map(put, batch)
 
 
+def shard_batch_multihost(batch: Dict[str, Any], mesh: Mesh,
+                          axis: str = "data") -> Dict[str, Any]:
+    """Multi-host variant of shard_batch: each process supplies its local
+    slice of the GLOBAL batch (leading dim = global batch size across all
+    hosts); builds jax.Arrays via make_array_from_process_local_data so the
+    data-parallel step sees one global array per leaf. Single-host meshes
+    fall through to shard_batch."""
+    import jax.experimental.multihost_utils  # noqa: F401  (ensures init)
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh, axis)
+    data_s = batch_sharding(mesh, axis)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(data_s, x)
+
+    return jax.tree.map(put, batch)
+
+
 def data_parallel_jit(fn, mesh: Mesh, axis: str = "data"):
     """jit `fn(state, batch, *extras)` for data parallelism: the state is
     replicated, the batch arrives pre-sharded on its leading dim (see

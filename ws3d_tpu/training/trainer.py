@@ -8,13 +8,10 @@ step; data-parallel via sharded batches (ws3d_tpu.parallel).
 """
 from __future__ import annotations
 
-from dataclasses import replace
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from flax import struct
 
