@@ -92,6 +92,7 @@ def main():
     trainer.train_steps(batches(), total_steps=args.steps,
                         log_every=max(args.steps // 100, 1),
                         epoch_size=epoch_size)
+    trainer.recalibrate_bn(ds.batches(args.batch, steps=20))
     ckpt = os.path.join(args.output_dir, f"{args.stage}_ckpt")
     save_checkpoint(ckpt, trainer.state)
     log.info("saved checkpoint: %s", ckpt)

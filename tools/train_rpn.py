@@ -64,6 +64,7 @@ def main():
     trainer.train_steps(ds.batches(args.batch), total_steps=args.steps,
                         log_every=max(args.steps // 100, 1),
                         epoch_size=epoch_size)
+    trainer.recalibrate_bn(ds.batches(args.batch))
 
     ckpt = os.path.join(args.output_dir, "rpn_ckpt")
     save_checkpoint(ckpt, trainer.state)

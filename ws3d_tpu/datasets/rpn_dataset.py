@@ -128,23 +128,38 @@ def gaussian_weak_labels(pts_rect: np.ndarray, gt_centers: np.ndarray,
     return cls_label, reg_label
 
 
+def points_in_rotated_boxes_np(pts: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """NumPy twin of ws3d_tpu.ops.boxes.points_in_rotated_boxes — host label
+    generation must not dispatch eagerly to the (tunneled) accelerator."""
+    shift = pts[:, None, :] - boxes[None, :, 0:3]
+    h, w, l, ry = boxes[:, 3], boxes[:, 4], boxes[:, 5], boxes[:, 6]
+    cy = -h / 2.0
+    c, s = np.cos(ry), np.sin(ry)
+    x_loc = shift[..., 0] * c - shift[..., 2] * s
+    z_loc = shift[..., 0] * s + shift[..., 2] * c
+    return ((np.abs(x_loc) <= l / 2.0) & (np.abs(z_loc) <= w / 2.0)
+            & (np.abs(shift[..., 1] - cy) <= h / 2.0))
+
+
+def _enlarge_box3d_np(boxes: np.ndarray, extra: float) -> np.ndarray:
+    out = boxes.copy()
+    out[:, 1] += extra
+    out[:, 3:6] += extra * 2
+    return out
+
+
 def box_rpn_labels(pts_rect: np.ndarray, gt_boxes3d: np.ndarray,
                    ignore_width: float = 0.2):
     """Eval-mode labels: +1 in box, -1 in the 0.2 m-enlarged ignore ring
-    (generate_rpn_training_labels:575-598)."""
-    import numpy as _np
-    from ws3d_tpu.ops.boxes import points_in_rotated_boxes, enlarge_box3d
-    import jax.numpy as jnp
+    (generate_rpn_training_labels:575-598). Pure NumPy."""
     n = pts_rect.shape[0]
     cls_label = np.zeros((n,), np.int32)
     reg_label = np.zeros((n, 3), np.float32)
     if gt_boxes3d.shape[0] == 0:
         return cls_label, reg_label
-    in_box = _np.asarray(points_in_rotated_boxes(
-        jnp.asarray(pts_rect), jnp.asarray(gt_boxes3d)))
-    big = _np.asarray(points_in_rotated_boxes(
-        jnp.asarray(pts_rect),
-        jnp.asarray(enlarge_box3d(jnp.asarray(gt_boxes3d), ignore_width))))
+    in_box = points_in_rotated_boxes_np(pts_rect, gt_boxes3d)
+    big = points_in_rotated_boxes_np(
+        pts_rect, _enlarge_box3d_np(gt_boxes3d, ignore_width))
     fg = in_box.any(axis=1)
     ignore = big.any(axis=1) & ~fg
     cls_label[fg] = 1

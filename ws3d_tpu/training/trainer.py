@@ -179,6 +179,48 @@ class Trainer:
             self._mesh = None
             self.step_fn = jax.jit(step_fn)
 
+    def recalibrate_bn(self, batch_iter, n_batches: int = 20,
+                       momentum: float = 0.2):
+        """Re-estimate BatchNorm running statistics at the FINAL weights.
+
+        Short runs leave running averages far from the statistics the final
+        weights produce (the reference sidesteps this with 8k-40k-iteration
+        schedules + BN-momentum decay); a recalibration sweep is the
+        standard fix and is cheap (forward-only)."""
+        if self.stage == "rpn":
+            def fwd(bs, batch, rng):
+                _, mut = self.model.apply(
+                    {"params": self.state.params, "batch_stats": bs},
+                    {"pts_input": batch["pts_input"]}, train=True,
+                    bn_momentum=jnp.float32(momentum),
+                    rngs={"dropout": rng}, mutable=["batch_stats"],
+                    method=self.model.rpn_forward)
+                return mut["batch_stats"]
+        else:
+            def fwd(bs, batch, rng):
+                model_in = {"cur_box_point": batch["cur_box_point"],
+                            "cur_box_reflect": batch["cur_box_reflect"],
+                            "train_mask": batch["train_mask"]}
+                for k in ("iou_trans", "iou_scale", "iou_ry"):
+                    if k in batch:
+                        model_in[k] = batch[k]
+                _, mut = self.model.apply(
+                    {"params": self.state.params, "batch_stats": bs},
+                    model_in, train=True, bn_momentum=jnp.float32(momentum),
+                    rngs={"dropout": rng}, mutable=["batch_stats"],
+                    method=self.model.rcnn_forward)
+                return mut["batch_stats"]
+
+        fwd = jax.jit(fwd)
+        bs = self.state.batch_stats
+        for i, batch in enumerate(batch_iter):
+            if i >= n_batches:
+                break
+            self.rng, sub = jax.random.split(self.rng)
+            bs = fwd(bs, batch, sub)
+        self.state = self.state.replace(batch_stats=bs)
+        self.log_fn(f"recalibrated BN stats over {min(i + 1, n_batches)} batches")
+
     def prob_mask_ratio(self, epoch: int, total_epochs: int) -> float:
         return min(0.5 + 0.5 * (epoch + total_epochs / 3.0) / total_epochs, 1.0)
 
