@@ -74,3 +74,33 @@ def test_boxplace_batches_with_ioun_noise():
     assert batch["iou_ry"].shape == (4, 1, 2)
     # jitter is damped by 0.5^(cascade-1)
     assert np.abs(batch["iou_trans"]).max() < 1.0
+
+
+def test_noise_pack_keeps_label_geometry_consistent():
+    """After the full train-time noise pack, the car-surface points (marked
+    by gt_mask) must still lie inside the (slightly enlarged) labeled box —
+    catches heading/rotation label-vs-points mismatches."""
+    from ws3d_tpu.datasets.rpn_dataset import points_in_rotated_boxes_np
+    cfg = _cfg()
+    db = synthetic_proposal_database(num=12, seed=11, fg_ratio=1.0)
+    ds = BoxPlaceDataset(db, cfg, mode="TRAIN", seed=3)
+    checked = 0
+    for i in range(len(ds)):
+        s = ds.get_sample(i)
+        if s["cls"] != 1.0:
+            continue
+        box = s["gt_boxes"].copy()
+        if not np.any(box):
+            continue
+        pts = s["cur_box_point"]
+        car = s["gt_mask"].reshape(-1) > 0
+        if car.sum() < 20:
+            continue
+        big = box.copy()
+        big[1] += 0.3
+        big[3:6] += 0.6
+        inside = points_in_rotated_boxes_np(pts[car], big[None])[:, 0]
+        frac = inside.mean()
+        assert frac > 0.8, (i, frac, box)
+        checked += 1
+    assert checked >= 10

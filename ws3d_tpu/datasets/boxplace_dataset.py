@@ -165,12 +165,11 @@ class BoxPlaceDataset:
             pts *= scale
             gt_box[0:6] *= scale
 
-            # heading jitter on the gt (noise_ry, :369,411)
+            # rotation-augmentation angle (noise_ry ~ U(-pi/2, pi/2), :369);
+            # the crop is physically rotated and the heading label follows —
+            # with the x' = x*cos - z*sin convention a scene rotation by
+            # +theta maps heading a -> a - theta
             noise_ry = noise[3] * math.pi / 2
-            if fg:
-                gt_box[6] = (gt_box[6] + noise_ry) % (2 * math.pi)
-                if gt_box[6] > math.pi:
-                    gt_box[6] -= 2 * math.pi
 
             # x-flip (:415-420)
             if noise[5] > 0:
@@ -191,7 +190,9 @@ class BoxPlaceDataset:
             gz = gt_center[0] * s + gt_center[2] * c + g[1]
             gt_box[0], gt_box[2] = gx, gz
             gt_box[1] += noise[2]
-            gt_box[6] += noise_ry
+            gt_box[6] = (gt_box[6] - noise_ry) % (2 * math.pi)
+            if gt_box[6] > math.pi:
+                gt_box[6] -= 2 * math.pi
 
         sample = {
             "sample_id": np.int32(data.get("sample_id", 0)),
