@@ -11,4 +11,7 @@ from ws3d_tpu.ops.boxes import (
 )
 from ws3d_tpu.ops.iou3d import rotated_overlap_bev, boxes_iou_bev, boxes_iou3d
 from ws3d_tpu.ops.nms import rotated_nms, radius_nms, score_threshold_topk
-from ws3d_tpu.ops.roipool import roipool3d
+from ws3d_tpu.ops.roipool import roipool3d, cylinder_crop
+from ws3d_tpu.ops.giou import (paired_iou3d, paired_giou3d, ious_3d_loss,
+                               gious_3d_loss)
+from ws3d_tpu.ops.grouping import ball_query_multi, first_k_true_indices
