@@ -20,30 +20,29 @@ LANE = 128
 def _kernel(m_total, qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
             dist_ref, idx_ref):
     MT = qx_ref.shape[2]
-    T = px_ref.shape[2]
+    m = px_ref.shape[3]
 
     qx, qy, qz = qx_ref[0, 0], qy_ref[0, 0], qz_ref[0, 0]   # (MT, 1)
-    px, py, pz = px_ref[0, 0], py_ref[0, 0], pz_ref[0, 0]   # (T, 128)
+    px, py, pz = px_ref[0, 0], py_ref[0, 0], pz_ref[0, 0]   # (1, m)
 
-    dx = qx[:, :, None] - px[None, :, :]
-    dy = qy[:, :, None] - py[None, :, :]
-    dz = qz[:, :, None] - pz[None, :, :]
-    d2 = dx * dx + dy * dy + dz * dz                        # (MT, T, 128)
+    dx = qx - px
+    dy = qy - py
+    dz = qz - pz
+    d2 = dx * dx + dy * dy + dz * dz                        # (MT, m) 2D
 
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, LANE), 1)
-    tile_iota = jax.lax.broadcasted_iota(jnp.int32, (T, LANE), 0)
-    col = (tile_iota * LANE + lane_iota)[None]              # (1, T, 128)
-    col_b = jnp.broadcast_to(col, d2.shape)
+    col = jax.lax.broadcasted_iota(jnp.int32, (MT, m), 1)
 
     cur = d2
+    outs_d, outs_i = [], []
     for s in range(3):
-        best = jnp.min(jnp.min(cur, axis=2), axis=1)         # (MT,)
-        pick = jnp.min(jnp.min(
-            jnp.where(cur == best[:, None, None], col_b, m_total),
-            axis=2), axis=1).astype(jnp.int32)               # (MT,)
-        dist_ref[0, 0, :, s] = best
-        idx_ref[0, 0, :, s] = pick
-        cur = jnp.where(col_b == pick[:, None, None], jnp.inf, cur)
+        best = jnp.min(cur, axis=1, keepdims=True)           # (MT, 1)
+        pick = jnp.min(jnp.where(cur == best, col, m_total),
+                       axis=1, keepdims=True).astype(jnp.int32)
+        outs_d.append(best)
+        outs_i.append(pick)
+        cur = jnp.where(col == pick, jnp.inf, cur)
+    dist_ref[0, 0] = jnp.concatenate(outs_d, axis=1)
+    idx_ref[0, 0] = jnp.concatenate(outs_i, axis=1)
 
 
 def three_nn_pallas(unknown: jnp.ndarray, known: jnp.ndarray,
@@ -56,7 +55,6 @@ def three_nn_pallas(unknown: jnp.ndarray, known: jnp.ndarray,
     B, n, _ = unknown.shape
     m = known.shape[1]
     assert m % LANE == 0 and n % 8 == 0
-    T = m // LANE
     budget = max(2 * 1024 * 1024 // (m * 4), 8)
     MT = 8
     for cand in (128, 64, 32, 16, 8):
@@ -70,13 +68,13 @@ def three_nn_pallas(unknown: jnp.ndarray, known: jnp.ndarray,
     qx = coord(unknown, 0).reshape(B, n // MT, MT, 1)
     qy = coord(unknown, 1).reshape(B, n // MT, MT, 1)
     qz = coord(unknown, 2).reshape(B, n // MT, MT, 1)
-    px = coord(known, 0).reshape(B, 1, T, LANE)
-    py = coord(known, 1).reshape(B, 1, T, LANE)
-    pz = coord(known, 2).reshape(B, 1, T, LANE)
+    px = coord(known, 0).reshape(B, 1, 1, m)
+    py = coord(known, 1).reshape(B, 1, 1, m)
+    pz = coord(known, 2).reshape(B, 1, 1, m)
 
     qspec = pl.BlockSpec((1, 1, MT, 1), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM)
-    pspec = pl.BlockSpec((1, 1, T, LANE), lambda b, i: (b, 0, 0, 0),
+    pspec = pl.BlockSpec((1, 1, 1, m), lambda b, i: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((1, 1, MT, 3), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM)
