@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -53,18 +54,42 @@ class PointnetSAModuleMSG(nn.Module):
                 chunk=self.bq_chunk)
         outs = []
         for i in range(len(self.radii)):
+            mlp = SharedMLP(self.mlps[i], use_bn=self.use_bn,
+                            dtype=self.dtype, name=f"mlp_{i}")
+            if self._use_fused(features):
+                # fused gather+MLP+maxpool kernel (BN-free stages): identical
+                # param tree — the dummy call materializes the Dense params,
+                # whose values feed the Pallas kernel
+                cin = features.shape[-1] + 3
+                _ = mlp(jnp.zeros((1, 1, 1, cin), xyz.dtype), train=train)
+                p = mlp.variables["params"]
+                kernels = [p[f"Dense_{k}"]["kernel"]
+                           for k in range(len(self.mlps[i]))]
+                biases = [p[f"Dense_{k}"]["bias"]
+                          for k in range(len(self.mlps[i]))]
+                from ws3d_tpu.ops.fused_sa_pallas import fused_sa_single_scale
+                outs.append(fused_sa_single_scale(
+                    xyz, features, new_xyz, idx_per_scale[i], kernels, biases))
+                continue
             if self.npoint is not None:
                 grouped = group_with_idx(idx_per_scale[i], xyz, new_xyz,
                                          features, use_xyz=self.use_xyz)
             else:
                 grouped = group_all(xyz, features, use_xyz=self.use_xyz)
             # (B, M, S, Cin) -> MLP -> max over S
-            h = SharedMLP(self.mlps[i], use_bn=self.use_bn,
-                          dtype=self.dtype,
-                          name=f"mlp_{i}")(grouped, train=train,
-                                           bn_momentum=bn_momentum)
+            h = mlp(grouped, train=train, bn_momentum=bn_momentum)
             outs.append(jnp.max(h, axis=2))
         return new_xyz, jnp.concatenate(outs, axis=-1)
+
+    def _use_fused(self, features) -> bool:
+        if (self.npoint is None or self.use_bn or not self.use_xyz
+                or features is None or self.dtype is not None
+                or self.npoint % 8 != 0):
+            return False
+        try:
+            return jax.default_backend() in ("tpu", "axon")
+        except Exception:                                    # pragma: no cover
+            return False
 
 
 class PointnetSAModule(PointnetSAModuleMSG):
