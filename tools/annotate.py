@@ -72,7 +72,6 @@ def run_headless(args, cfg, log):
 
 
 def run_interactive(args, cfg, log):
-    import matplotlib
     import matplotlib.pyplot as plt
     from ws3d_tpu.datasets.kitti_io import objs_to_boxes3d
 

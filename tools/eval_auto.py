@@ -76,7 +76,7 @@ def main():
     import jax.numpy as jnp
     from ws3d_tpu.datasets import RPNDataset
     from ws3d_tpu.eval import annos_from_objects, get_official_eval_result
-    from ws3d_tpu.eval.kitti_ap import get_label_annos, anno_from_lines
+    from ws3d_tpu.eval.kitti_ap import anno_from_lines
     from ws3d_tpu.models import build_model, init_model
     from ws3d_tpu.pipeline import make_two_stage_fn
     from ws3d_tpu.training.checkpoint import load_part_checkpoint

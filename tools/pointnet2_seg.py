@@ -30,7 +30,6 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
     import optax
     from flax import linen as nn
     from ws3d_tpu import losses

@@ -51,7 +51,7 @@ def main():
     import jax.numpy as jnp
     from ws3d_tpu.ops.ball_query_pallas import ball_query_pallas
     from ws3d_tpu.ops.three_nn_pallas import three_nn_pallas
-    from ws3d_tpu.ops.grouping import ball_query_multi, _ball_query_chunk_multi
+    from ws3d_tpu.ops.grouping import _ball_query_chunk_multi
     from ws3d_tpu.ops.interpolate import _three_nn_chunk
     from ws3d_tpu.ops.sampling import _fps_scan, _fps_pallas
 

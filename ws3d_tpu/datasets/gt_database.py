@@ -11,11 +11,11 @@ insert (:341-344) and a sparse-distance collision gate (:291-298).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
-from ws3d_tpu.datasets.kitti_io import KittiScene, objs_to_boxes3d
+from ws3d_tpu.datasets.kitti_io import objs_to_boxes3d
 from ws3d_tpu.utils.sampling_np import greedy_furthest_point_sample
 
 AUG_NUM = 15

@@ -17,12 +17,11 @@ Host-side NumPy re-design of lib/datasets/kitti_rcnn_dataset.py:23-644:
 """
 from __future__ import annotations
 
-import math
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, Optional, Sequence
 
 import numpy as np
 
-from ws3d_tpu.datasets.kitti_io import KittiScene, objs_to_boxes3d
+from ws3d_tpu.datasets.kitti_io import objs_to_boxes3d
 
 MAX_GT = 32  # fixed gt-pad width (vs. per-batch max in the reference)
 

@@ -10,7 +10,7 @@ reference (it has no synthetic path) — it is the test fixture layer SURVEY.md
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

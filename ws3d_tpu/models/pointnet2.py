@@ -15,8 +15,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ws3d_tpu.models.layers import SharedMLP
-from ws3d_tpu.ops.grouping import (group_all, query_and_group,
-                                   ball_query_multi, group_with_idx)
+from ws3d_tpu.ops.grouping import (group_all, ball_query_multi,
+                                   group_with_idx)
 from ws3d_tpu.ops.interpolate import interpolate_features
 from ws3d_tpu.ops.sampling import furthest_point_sample, gather_points
 

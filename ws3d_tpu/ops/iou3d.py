@@ -12,7 +12,6 @@ MARGIN=1e-5 match the reference.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 EPS = 1e-8

@@ -18,13 +18,12 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ws3d_tpu.box_codec import decode_center
-from ws3d_tpu.ops.nms import radius_nms, _greedy_suppress
+from ws3d_tpu.ops.nms import _greedy_suppress
 from ws3d_tpu.ops.iou3d import boxes_iou3d
 from ws3d_tpu.ops.roipool import _first_k_wraparound
 
