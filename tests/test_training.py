@@ -148,3 +148,28 @@ def test_data_parallel_trainer_on_cpu_mesh():
                           log_every=1)
     assert len(hist) == 2
     assert np.isfinite(hist[-1]["loss"])
+
+
+def test_full_resume_roundtrip(tmp_path):
+    from ws3d_tpu.training import save_train_state, restore_train_state
+    cfg = _tiny_rpn_cfg()
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(0))
+    state = create_train_state(model, cfg, variables, total_steps=10)
+    src = SyntheticKitti(num_scenes=2, points_per_scene=1500, seed=3)
+    ds = RPNDataset(src, cfg, mode="TRAIN", npoints=256)
+    step = jax.jit(make_rpn_train_step(model, cfg))
+    batch = next(ds.batches(batch_size=2, steps=1))
+    state, _ = step(state, batch, jax.random.PRNGKey(1), jnp.float32(0.1))
+    path = os.path.join(str(tmp_path), "resume")
+    save_train_state(path, state)
+    fresh = create_train_state(model, cfg, variables, total_steps=10)
+    restored = restore_train_state(fresh, path)
+    assert int(restored.step) == 1
+    a = jax.tree.leaves(jax.tree.map(np.asarray, restored.opt_state))
+    b = jax.tree.leaves(jax.tree.map(np.asarray, state.opt_state))
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+    # continues training without error
+    restored2, aux = step(restored, batch, jax.random.PRNGKey(2),
+                          jnp.float32(0.1))
+    assert np.isfinite(float(aux["loss"]))

@@ -61,9 +61,16 @@ def main():
                       mesh=mesh, log_fn=log.info,
                       tb_dir=os.path.join(args.output_dir, "tb"))
     epoch_size = max(len(ds) // args.batch, 1)
+    if args.ckpt:
+        from ws3d_tpu.training import restore_train_state
+        trainer.state = restore_train_state(trainer.state, args.ckpt)
+        log.info("resumed from %s at step %d", args.ckpt,
+                 int(trainer.state.step))
     trainer.train_steps(ds.batches(args.batch), total_steps=args.steps,
                         log_every=max(args.steps // 100, 1),
-                        epoch_size=epoch_size)
+                        epoch_size=epoch_size,
+                        ckpt_every=args.ckpt_every,
+                        ckpt_dir=args.output_dir)
     trainer.recalibrate_bn(ds.batches(args.batch))
 
     ckpt = os.path.join(args.output_dir, "rpn_ckpt")

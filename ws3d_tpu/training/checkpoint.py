@@ -54,6 +54,43 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         return pickle.load(f)
 
 
+def save_train_state(path: str, state):
+    """Full-resume checkpoint: params + batch_stats + optimizer state + step
+    (the reference torch.saves {it, model_state, optimizer_state},
+    train_utils.py:67-83)."""
+    payload = {"step": np.asarray(state.step),
+               "params": _to_host(state.params),
+               "batch_stats": _to_host(state.batch_stats),
+               "opt_state": _to_host(state.opt_state)}
+    path = os.path.abspath(path)
+    if _HAVE_ORBAX:
+        ocp.PyTreeCheckpointer().save(path, payload, force=True)
+    else:                                                   # pragma: no cover
+        import pickle
+        with open(path + ".pkl", "wb") as f:
+            pickle.dump(payload, f)
+
+
+def restore_train_state(state, path: str):
+    """Restore a full-resume checkpoint into an existing TrainState (the
+    optimizer-state pytree is rebuilt with the state's own structure)."""
+    ckpt = load_checkpoint(path)
+    new_opt = state.opt_state
+    if "opt_state" in ckpt:
+        leaves = jax.tree.leaves(ckpt["opt_state"])
+        treedef = jax.tree.structure(state.opt_state)
+        new_opt = jax.tree.unflatten(treedef, leaves)
+    return state.replace(step=jnp_asarray_i32(ckpt["step"]),
+                         params=ckpt["params"],
+                         batch_stats=ckpt.get("batch_stats", {}),
+                         opt_state=new_opt)
+
+
+def jnp_asarray_i32(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x, jnp.int32)
+
+
 def _merge_subtree(fresh, loaded):
     """Recursive graft: loaded leaves win where present; fresh leaves fill
     anything the checkpoint lacks (e.g. IOUN cascade heads when loading an

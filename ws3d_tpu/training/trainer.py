@@ -226,7 +226,8 @@ class Trainer:
 
     def train_steps(self, batch_iter, total_steps: int,
                     log_every: int = 10, epoch_size: Optional[int] = None,
-                    prefetch_size: int = 2):
+                    prefetch_size: int = 2, ckpt_every: Optional[int] = None,
+                    ckpt_dir: Optional[str] = None):
         from ws3d_tpu.utils.prefetch import prefetch
         if prefetch_size:
             batch_iter = prefetch(batch_iter, size=prefetch_size)
@@ -250,6 +251,12 @@ class Trainer:
                 if self.writer is not None:
                     self.writer.write(i, vals)
                 history.append(vals)
+            if (ckpt_every and ckpt_dir and i > 0 and i % ckpt_every == 0):
+                from ws3d_tpu.training.checkpoint import save_train_state
+                import os
+                save_train_state(os.path.join(ckpt_dir,
+                                              f"resume_step_{i}"), self.state)
+                self.log_fn(f"saved resume checkpoint at step {i}")
         if self.writer is not None:
             self.writer.close()
             self.writer = None
