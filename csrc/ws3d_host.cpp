@@ -14,6 +14,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -154,6 +155,166 @@ void ws3d_greedy_nms(const double* pair, int64_t n, double thresh,
         break;
       }
     }
+  }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// KITTI AP statistics (port of compute_statistics_jit,
+// tools/kitti_object_eval_python/eval.py:156-273 — numba there, C++ here).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr double NO_DETECTION = -10000000.0;
+
+struct Stats {
+  int64_t tp, fp, fn;
+  double similarity;
+};
+
+// overlaps: (det_size, gt_size) row-major; gt_data (gt,5) [bbox4, alpha];
+// dt_data (dt,6) [bbox4, alpha, score]; dc (n_dc, 4)
+Stats compute_statistics(const double* overlaps, const double* gt_data,
+                         int64_t gt_size, const double* dt_data,
+                         int64_t det_size, const int64_t* ignored_gt,
+                         const int64_t* ignored_det, const double* dc,
+                         int64_t n_dc, int metric, double min_overlap,
+                         double thresh, bool compute_fp, bool compute_aos,
+                         double* out_thresholds, int64_t* n_thresh) {
+  std::vector<char> assigned(det_size, 0);
+  std::vector<char> ignored_threshold(det_size, 0);
+  if (compute_fp) {
+    for (int64_t j = 0; j < det_size; ++j)
+      if (dt_data[j * 6 + 5] < thresh) ignored_threshold[j] = 1;
+  }
+  Stats st{0, 0, 0, 0.0};
+  std::vector<double> delta;
+  *n_thresh = 0;
+  for (int64_t i = 0; i < gt_size; ++i) {
+    if (ignored_gt[i] == -1) continue;
+    int64_t det_idx = -1;
+    double valid_detection = NO_DETECTION;
+    double max_overlap = 0.0;
+    bool assigned_ignored_det = false;
+    for (int64_t j = 0; j < det_size; ++j) {
+      if (ignored_det[j] == -1 || assigned[j] || ignored_threshold[j])
+        continue;
+      const double overlap = overlaps[j * gt_size + i];
+      const double dt_score = dt_data[j * 6 + 5];
+      if (!compute_fp && overlap > min_overlap && dt_score > valid_detection) {
+        det_idx = j;
+        valid_detection = dt_score;
+      } else if (compute_fp && overlap > min_overlap
+                 && (overlap > max_overlap || assigned_ignored_det)
+                 && ignored_det[j] == 0) {
+        max_overlap = overlap;
+        det_idx = j;
+        valid_detection = 1;
+        assigned_ignored_det = false;
+      } else if (compute_fp && overlap > min_overlap
+                 && valid_detection == NO_DETECTION && ignored_det[j] == 1) {
+        det_idx = j;
+        valid_detection = 1;
+        assigned_ignored_det = true;
+      }
+    }
+    if (valid_detection == NO_DETECTION && ignored_gt[i] == 0) {
+      st.fn += 1;
+    } else if (valid_detection != NO_DETECTION
+               && (ignored_gt[i] == 1 || ignored_det[det_idx] == 1)) {
+      assigned[det_idx] = 1;
+    } else if (valid_detection != NO_DETECTION) {
+      st.tp += 1;
+      out_thresholds[(*n_thresh)++] = dt_data[det_idx * 6 + 5];
+      if (compute_aos)
+        delta.push_back(gt_data[i * 5 + 4] - dt_data[det_idx * 6 + 4]);
+      assigned[det_idx] = 1;
+    }
+  }
+  if (compute_fp) {
+    for (int64_t j = 0; j < det_size; ++j)
+      if (!(assigned[j] || ignored_det[j] == -1 || ignored_det[j] == 1
+            || ignored_threshold[j]))
+        st.fp += 1;
+    int64_t nstuff = 0;
+    if (metric == 0 && n_dc > 0) {
+      for (int64_t i = 0; i < n_dc; ++i) {
+        for (int64_t j = 0; j < det_size; ++j) {
+          if (assigned[j] || ignored_det[j] == -1 || ignored_det[j] == 1
+              || ignored_threshold[j])
+            continue;
+          // image_box_overlap criterion 0 (inter / det area)
+          const double* db = dt_data + j * 6;
+          const double* dcb = dc + i * 4;
+          const double iw = std::min(db[2], dcb[2]) - std::max(db[0], dcb[0]);
+          const double ih = std::min(db[3], dcb[3]) - std::max(db[1], dcb[1]);
+          if (iw > 0 && ih > 0) {
+            const double area = (db[2] - db[0]) * (db[3] - db[1]);
+            if (iw * ih / area > min_overlap) {
+              assigned[j] = 1;
+              nstuff += 1;
+            }
+          }
+        }
+      }
+    }
+    st.fp -= nstuff;
+    if (compute_aos) {
+      st.similarity = 0.0;
+      for (double d : delta) st.similarity += (1.0 + std::cos(d)) / 2.0;
+      if (st.tp == 0 && st.fp == 0) st.similarity = -1.0;
+    }
+  }
+  return st;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Single-frame statistics. Returns tp/fp/fn/sim via out array [4];
+// thresholds written to out_thresholds (size >= gt_size), count in n_thresh.
+void ws3d_compute_statistics(const double* overlaps, const double* gt_data,
+                             int64_t gt_size, const double* dt_data,
+                             int64_t det_size, const int64_t* ignored_gt,
+                             const int64_t* ignored_det, const double* dc,
+                             int64_t n_dc, int metric, double min_overlap,
+                             double thresh, int compute_fp, int compute_aos,
+                             double* out4, double* out_thresholds,
+                             int64_t* n_thresh) {
+  Stats st = compute_statistics(overlaps, gt_data, gt_size, dt_data, det_size,
+                                ignored_gt, ignored_det, dc, n_dc, metric,
+                                min_overlap, thresh, compute_fp != 0,
+                                compute_aos != 0, out_thresholds, n_thresh);
+  out4[0] = (double)st.tp;
+  out4[1] = (double)st.fp;
+  out4[2] = (double)st.fn;
+  out4[3] = st.similarity;
+}
+
+// Fused pr-table accumulation over one frame for all thresholds
+// (fused_compute_statistics, eval.py:286-332). pr is (n_thresholds, 4).
+void ws3d_fused_statistics(const double* overlaps, const double* gt_data,
+                           int64_t gt_size, const double* dt_data,
+                           int64_t det_size, const int64_t* ignored_gt,
+                           const int64_t* ignored_det, const double* dc,
+                           int64_t n_dc, int metric, double min_overlap,
+                           const double* thresholds, int64_t n_thresholds,
+                           int compute_aos, double* pr) {
+#pragma omp parallel for schedule(static)
+  for (int64_t t = 0; t < n_thresholds; ++t) {
+    std::vector<double> th(std::max<int64_t>(gt_size, 1));
+    int64_t n = 0;
+    Stats st = compute_statistics(overlaps, gt_data, gt_size, dt_data,
+                                  det_size, ignored_gt, ignored_det, dc, n_dc,
+                                  metric, min_overlap, thresholds[t], true,
+                                  compute_aos != 0, th.data(), &n);
+    pr[t * 4 + 0] += (double)st.tp;
+    pr[t * 4 + 1] += (double)st.fp;
+    pr[t * 4 + 2] += (double)st.fn;
+    if (st.similarity != -1.0) pr[t * 4 + 3] += st.similarity;
   }
 }
 

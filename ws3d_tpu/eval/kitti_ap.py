@@ -379,30 +379,41 @@ def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
              dontcares, total_num_valid_gt) = _prepare_data(
                 gt_annos, dt_annos, current_class, difficulty)
             for k, min_overlap in enumerate(min_overlaps[:, metric, m]):
+                stats_fn = (_native.compute_statistics if _HAVE_NATIVE
+                            else compute_statistics)
                 thresholdss = []
                 for i in range(len(gt_annos)):
-                    _, _, _, _, th = compute_statistics(
+                    _, _, _, _, th = stats_fn(
                         overlaps[i], gt_datas_list[i], dt_datas_list[i],
                         ignored_gts[i], ignored_dets[i], dontcares[i],
                         metric, min_overlap, thresh=0.0, compute_fp=False)
-                    thresholdss += th.tolist()
+                    thresholdss += list(th)
                 if total_num_valid_gt == 0:
                     continue
                 thresholds = get_thresholds(np.array(thresholdss),
                                             total_num_valid_gt)
                 pr = np.zeros([len(thresholds), 4])
-                for i in range(len(gt_annos)):
-                    for t, thresh in enumerate(thresholds):
-                        tp, fp, fn, sim, _ = compute_statistics(
+                if _HAVE_NATIVE:
+                    th_arr = np.asarray(thresholds, np.float64)
+                    for i in range(len(gt_annos)):
+                        _native.fused_statistics(
                             overlaps[i], gt_datas_list[i], dt_datas_list[i],
                             ignored_gts[i], ignored_dets[i], dontcares[i],
-                            metric, min_overlap, thresh=thresh,
-                            compute_fp=True, compute_aos=compute_aos)
-                        pr[t, 0] += tp
-                        pr[t, 1] += fp
-                        pr[t, 2] += fn
-                        if sim != -1:
-                            pr[t, 3] += sim
+                            metric, min_overlap, th_arr, compute_aos, pr)
+                else:
+                    for i in range(len(gt_annos)):
+                        for t, thresh in enumerate(thresholds):
+                            tp, fp, fn, sim, _ = compute_statistics(
+                                overlaps[i], gt_datas_list[i],
+                                dt_datas_list[i], ignored_gts[i],
+                                ignored_dets[i], dontcares[i],
+                                metric, min_overlap, thresh=thresh,
+                                compute_fp=True, compute_aos=compute_aos)
+                            pr[t, 0] += tp
+                            pr[t, 1] += fp
+                            pr[t, 2] += fn
+                            if sim != -1:
+                                pr[t, 3] += sim
                 for i in range(len(thresholds)):
                     recall[m, ld, k, i] = pr[i, 0] / (pr[i, 0] + pr[i, 2])
                     precision[m, ld, k, i] = pr[i, 0] / (pr[i, 0] + pr[i, 1])

@@ -46,6 +46,15 @@ def load() -> Optional[ctypes.CDLL]:
                                          ctypes.c_int64, ctypes.c_int, dp]
     lib.ws3d_greedy_nms.argtypes = [dp, ctypes.c_int64, ctypes.c_double,
                                     u8p, u8p]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.ws3d_compute_statistics.argtypes = [
+        dp, dp, ctypes.c_int64, dp, ctypes.c_int64, i64p, i64p, dp,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int, ctypes.c_int, dp, dp, i64p]
+    lib.ws3d_fused_statistics.argtypes = [
+        dp, dp, ctypes.c_int64, dp, ctypes.c_int64, i64p, i64p, dp,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_double, dp, ctypes.c_int64,
+        ctypes.c_int, dp]
     _lib = lib
     return lib
 
@@ -88,3 +97,53 @@ def greedy_nms(pair: np.ndarray, thresh: float,
                         valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                         keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return keep.astype(bool)
+
+
+def _i64ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def compute_statistics(overlaps, gt_data, dt_data, ignored_gt, ignored_det,
+                       dc_bboxes, metric, min_overlap, thresh=0.0,
+                       compute_fp=False, compute_aos=False):
+    """Native twin of ws3d_tpu.eval.kitti_ap.compute_statistics."""
+    lib = load()
+    overlaps = np.ascontiguousarray(overlaps, np.float64)
+    gt_data = np.ascontiguousarray(gt_data, np.float64)
+    dt_data = np.ascontiguousarray(dt_data, np.float64)
+    ignored_gt = np.ascontiguousarray(ignored_gt, np.int64)
+    ignored_det = np.ascontiguousarray(ignored_det, np.int64)
+    dc = np.ascontiguousarray(
+        dc_bboxes if len(dc_bboxes) else np.zeros((0, 4)), np.float64)
+    gt_size, det_size = gt_data.shape[0], dt_data.shape[0]
+    out4 = np.zeros(4, np.float64)
+    thr = np.zeros(max(gt_size, 1), np.float64)
+    n_thr = np.zeros(1, np.int64)
+    lib.ws3d_compute_statistics(
+        _dptr(overlaps), _dptr(gt_data), gt_size, _dptr(dt_data), det_size,
+        _i64ptr(ignored_gt), _i64ptr(ignored_det), _dptr(dc), dc.shape[0],
+        metric, min_overlap, thresh, int(compute_fp), int(compute_aos),
+        _dptr(out4), _dptr(thr), _i64ptr(n_thr))
+    return (int(out4[0]), int(out4[1]), int(out4[2]), float(out4[3]),
+            thr[: int(n_thr[0])])
+
+
+def fused_statistics(overlaps, gt_data, dt_data, ignored_gt, ignored_det,
+                     dc_bboxes, metric, min_overlap, thresholds,
+                     compute_aos, pr):
+    """Accumulate one frame's tp/fp/fn/sim into pr (n_thresholds, 4)."""
+    lib = load()
+    overlaps = np.ascontiguousarray(overlaps, np.float64)
+    gt_data = np.ascontiguousarray(gt_data, np.float64)
+    dt_data = np.ascontiguousarray(dt_data, np.float64)
+    ignored_gt = np.ascontiguousarray(ignored_gt, np.int64)
+    ignored_det = np.ascontiguousarray(ignored_det, np.int64)
+    dc = np.ascontiguousarray(
+        dc_bboxes if len(dc_bboxes) else np.zeros((0, 4)), np.float64)
+    thresholds = np.ascontiguousarray(thresholds, np.float64)
+    assert pr.flags["C_CONTIGUOUS"] and pr.dtype == np.float64
+    lib.ws3d_fused_statistics(
+        _dptr(overlaps), _dptr(gt_data), gt_data.shape[0], _dptr(dt_data),
+        dt_data.shape[0], _i64ptr(ignored_gt), _i64ptr(ignored_det),
+        _dptr(dc), dc.shape[0], metric, min_overlap, _dptr(thresholds),
+        thresholds.shape[0], int(compute_aos), _dptr(pr))
