@@ -41,11 +41,15 @@ def _kernel(S, n_layers, qx_ref, qy_ref, qz_ref, idx_ref, xyz_ref, feat_ref,
     feats = feat_ref[0]                                      # (P, C)
     comb = jnp.concatenate([xyz, feats], axis=1)             # (P, 3+C)
 
-    # one-hot "gather": (MT, S, P) @ (P, 3+C) on the MXU
+    # one-hot "gather": (MT, S, P) @ (P, 3+C) on the MXU. Runs as a native
+    # bf16 matmul (12x the 3-pass f32 emulation): the one-hot side is exact
+    # in bf16 and exactly one product contributes per output, so the only
+    # effect is bf16 rounding of the gathered values — same rounding the
+    # following (default-precision) MLP matmuls apply anyway.
     p_iota = jax.lax.broadcasted_iota(jnp.int32, (MT, S, P), 2)
-    onehot = (p_iota == idx[:, :, None]).astype(jnp.float32)
-    g = jax.lax.dot_general(onehot, comb, (((2,), (0,)), ((), ())),
-                            precision=jax.lax.Precision.HIGHEST,
+    onehot = (p_iota == idx[:, :, None]).astype(jnp.bfloat16)
+    g = jax.lax.dot_general(onehot, comb.astype(jnp.bfloat16),
+                            (((2,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)  # (MT,S,3+C)
 
     h = g
