@@ -58,11 +58,12 @@ def _kernel(radii, nsamples, n_total,
     col_global = (tile_iota * LANE + lane_iota)           # (T, 128)
 
     for scale, (radius, k) in enumerate(zip(radii, nsamples)):
-        maskf = (d2 < radius * radius).astype(jnp.float32)   # (MT, T, 128)
-        # inclusive prefix within each 128-tile: (MT, T, 128) @ (128, 128)
+        maskf = (d2 < radius * radius).astype(jnp.bfloat16)   # (MT, T, 128)
+        # inclusive prefix within each 128-tile: (MT, T, 128) @ (128, 128).
+        # Counts are <= 128, exactly representable in bf16 -> native-rate
+        # MXU with exact results (f32 accumulate).
         prefix = jax.lax.dot_general(
-            maskf, L128, (((2,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            maskf, L128.astype(jnp.bfloat16), (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # (MT, T, 128)
         tile_sum = prefix[..., LANE - 1]                    # (MT, T)
         tile_end = jax.lax.dot_general(
@@ -85,10 +86,11 @@ def _kernel(radii, nsamples, n_total,
             jnp.int32, (MT, k, T), 2).astype(jnp.float32)
         onehot = (t_iota == tile_jc[:, :, None]).astype(jnp.float32)
         base = jnp.sum(onehot * tile_base[:, None, :], axis=-1)   # (MT, k)
-        # selected tile's prefix row: (MT, k, T) @ (MT, T, 128) batched
+        # selected tile's prefix row: (MT, k, T) @ (MT, T, 128) batched.
+        # One-hot x integers <= 128: exact in bf16.
         sel_prefix = jax.lax.dot_general(
-            onehot, prefix, (((2,), (1,)), ((0,), (0,))),
-            precision=jax.lax.Precision.HIGHEST,
+            onehot.astype(jnp.bfloat16), prefix.astype(jnp.bfloat16),
+            (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)             # (MT, k, 128)
         local_target = targets - base                        # (MT, k)
         off = jnp.sum((sel_prefix < local_target[:, :, None])
