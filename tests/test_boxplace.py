@@ -76,6 +76,35 @@ def test_boxplace_batches_with_ioun_noise():
     assert np.abs(batch["iou_trans"]).max() < 1.0
 
 
+def test_copy0_clean_vs_aug_copies_recentered():
+    """Reference aug semantics (kitti_boxplace_dataset.py:352,431-435): copy
+    0 keeps the proposal-centered crop with no rotation/flip/y-shift, while
+    aug copies are recentered onto the gt box so location targets are ~N(0,
+    0.1) gaussian jitter rather than the full proposal error."""
+    cfg = _cfg()
+    db = synthetic_proposal_database(num=1, seed=7, fg_ratio=1.0)
+    # give the proposal a large, known gt offset
+    db[0]["gt_boxes"][0] = 1.4
+    db[0]["gt_boxes"][2] = -1.1
+    db[0]["cur_box_point"][:, 0] += 1.4 - db[0]["gt_boxes"][0]
+    orig_ry = float(db[0]["gt_boxes"][6])
+    n_draws = 16
+    for trial in range(n_draws):
+        ds = BoxPlaceDataset(db, cfg, mode="TRAIN", seed=100 + trial)
+        s0 = ds.get_sample(0)            # (entry 0, copy 0)
+        # copy 0: heading untouched (no rotation, no flip), center tracks
+        # the proposal-frame gt up to scale (±2%) + gaussian trans (σ 0.1)
+        assert abs(s0["gt_boxes"][6] - orig_ry) < 1e-5, trial
+        assert abs(s0["gt_boxes"][0] - 1.4) < 0.6, (trial, s0["gt_boxes"][0])
+        assert abs(s0["gt_boxes"][2] + 1.1) < 0.6, (trial, s0["gt_boxes"][2])
+        for c in (1, 2, 3):
+            sc = ds.get_sample(c)        # (entry 0, copy c)
+            # aug copies: recentered — gt x/z reduce to the N(0, 0.1)
+            # translation noise regardless of the 1.4/-1.1 proposal error
+            assert abs(sc["gt_boxes"][0]) < 0.55, (trial, c, sc["gt_boxes"][0])
+            assert abs(sc["gt_boxes"][2]) < 0.55, (trial, c, sc["gt_boxes"][2])
+
+
 def test_noise_pack_keeps_label_geometry_consistent():
     """After the full train-time noise pack, the car-surface points (marked
     by gt_mask) must still lie inside the (slightly enlarged) labeled box —

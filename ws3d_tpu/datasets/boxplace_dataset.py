@@ -64,12 +64,13 @@ class BoxPlaceDataset:
             r.shuffle(entries)
             entries = entries[: int(len(entries) * weakly_ratio)]
         self.database = database
-        # TRAIN uses aug_copies noisy copies per instance (:66-71)
+        # TRAIN uses aug_copies copies per instance, aug_flag = copy index
+        # (:66-71,160): copy 0 keeps the proposal-centered crop with only
+        # gaussian noise, copies 1.. get the full (recentered) noise pack
         self.index = []
         copies = aug_copies if mode == "TRAIN" else 1
         for c in range(copies):
-            self.index += [(i, 1 if (mode == "TRAIN" and c > 0) or mode == "TRAIN"
-                            else 0) for i in entries]
+            self.index += [(i, c) for i in entries]
 
     def __len__(self):
         return len(self.index)
@@ -145,25 +146,21 @@ class BoxPlaceDataset:
         prob_mask, gt_mask = prob_mask[sel], gt_mask[sel]
 
         # ---- noise pack (TRAIN only) -------------------------------------
-        if self.mode == "TRAIN" and aug_flag:
+        # Reference semantics (kitti_boxplace_dataset.py:349-445 +
+        # train_functions.py:51-68): every TRAIN copy gets the gaussian
+        # noises (x/z translation, global scale, per-axis ext size noise);
+        # copy 0 (aug_flag == 0) zeroes the uniform ones (y-shift, rotation,
+        # flip) and keeps the crop proposal-centered, while aug copies 1..3
+        # are RECENTERED onto the gt box (cur_box_point -= gt x/z, gt x/z =
+        # 0) so the RCNN location targets become ~N(0, 0.1) jitter instead
+        # of carrying the full proposal error.
+        if self.mode == "TRAIN":
             noise = rng.uniform(-1, 1, 6)
-            # per-axis size noise in the gt frame (ext_noise, applied via the
-            # revive-matrix einsum in the reference train_functions.py:56-59)
+            if aug_flag == 0:
+                noise = np.zeros(6)
+            g = rng.normal(0, 0.1, 3)
             ext = 1.0 + rng.normal(0, 0.1, 3) * 0.20          # scales (h, w, l)
-            if fg and np.any(gt_box):
-                local = _rot_y(pts - np.array([gt_box[0], 0, gt_box[2]],
-                                              np.float32), gt_box[6])
-                local[:, 0] *= ext[2]      # x along length
-                local[:, 1] *= ext[0]      # y along height
-                local[:, 2] *= ext[1]      # z along width
-                pts = _rot_y(local, -gt_box[6]) + np.array(
-                    [gt_box[0], 0, gt_box[2]], np.float32)
-                gt_box[3:6] *= ext
-
-            # global scale
             scale = 1.0 + rng.normal(0, 0.1) / 2 * 0.20
-            pts *= scale
-            gt_box[0:6] *= scale
 
             # rotation-augmentation angle (noise_ry ~ U(-pi/2, pi/2), :369);
             # the crop is physically rotated and the heading label follows —
@@ -180,14 +177,35 @@ class BoxPlaceDataset:
                     gt_box[6] -= 2 * math.pi
                 noise_ry = -noise_ry
 
+            # gt recentering, aug copies only (:431-435)
+            if aug_flag != 0 and fg and np.any(gt_box):
+                pts[:, 0] -= gt_box[0]
+                pts[:, 2] -= gt_box[2]
+                gt_box[0] = 0.0
+                gt_box[2] = 0.0
+
+            # per-axis size noise in the gt-heading frame about the crop
+            # origin (the revive-matrix einsum rotates about the origin,
+            # train_functions.py:56-59; after recentering the origin IS the
+            # gt center, so fg dims scale about the box center)
+            local = _rot_y(pts, gt_box[6])
+            local[:, 0] *= ext[2]      # x along length
+            local[:, 1] *= ext[0]      # y along height
+            local[:, 2] *= ext[1]      # z along width
+            pts = _rot_y(local, -gt_box[6])
+            if fg and np.any(gt_box):
+                gt_box[3:6] *= ext
+
+            # global scale
+            pts *= scale
+            gt_box[0:6] *= scale
+
             # rotate crop by noise_ry + gaussian translation (Rot_y, :422-426)
-            g = rng.normal(0, 0.1, 3)
             pts = _rot_y(pts, noise_ry)
             pts += np.array([g[0], noise[2], g[1]], np.float32)
-            gt_center = np.concatenate([gt_box[0:3], [1.0]])
             c, s = np.cos(noise_ry), np.sin(noise_ry)
-            gx = gt_center[0] * c - gt_center[2] * s + g[0]
-            gz = gt_center[0] * s + gt_center[2] * c + g[1]
+            gx = gt_box[0] * c - gt_box[2] * s + g[0]
+            gz = gt_box[0] * s + gt_box[2] * c + g[1]
             gt_box[0], gt_box[2] = gx, gz
             gt_box[1] += noise[2]
             gt_box[6] = (gt_box[6] - noise_ry) % (2 * math.pi)

@@ -168,7 +168,8 @@ def d3_box_overlap(boxes: np.ndarray, qboxes: np.ndarray,
     elif criterion == 1:
         ua = np.broadcast_to(vol2, inter.shape)
     else:
-        ua = inter
+        # raw intersection volume, matching d3_box_overlap_kernel's ua = 1.0
+        ua = np.ones_like(inter)
     return np.where(inter > 0, inter / np.maximum(ua, 1e-12), 0.0)
 
 

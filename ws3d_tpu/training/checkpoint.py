@@ -58,10 +58,16 @@ def save_train_state(path: str, state):
     """Full-resume checkpoint: params + batch_stats + optimizer state + step
     (the reference torch.saves {it, model_state, optimizer_state},
     train_utils.py:67-83)."""
+    # The optimizer state is a pytree of namedtuples orbax would flatten to
+    # a *key-sorted* nested dict; store the leaves under explicit
+    # order-preserving keys instead so restore can rebuild the live treedef
+    # exactly, independent of field-name sort order.
+    opt_leaves = jax.tree.leaves(state.opt_state)
     payload = {"step": np.asarray(state.step),
                "params": _to_host(state.params),
                "batch_stats": _to_host(state.batch_stats),
-               "opt_state": _to_host(state.opt_state)}
+               "opt_leaves": {f"{i:05d}": np.asarray(leaf)
+                              for i, leaf in enumerate(opt_leaves)}}
     path = os.path.abspath(path)
     if _HAVE_ORBAX:
         ocp.PyTreeCheckpointer().save(path, payload, force=True)
@@ -76,10 +82,12 @@ def restore_train_state(state, path: str):
     optimizer-state pytree is rebuilt with the state's own structure)."""
     ckpt = load_checkpoint(path)
     new_opt = state.opt_state
-    if "opt_state" in ckpt:
-        leaves = jax.tree.leaves(ckpt["opt_state"])
-        treedef = jax.tree.structure(state.opt_state)
+    treedef = jax.tree.structure(state.opt_state)
+    if "opt_leaves" in ckpt:
+        leaves = [ckpt["opt_leaves"][k] for k in sorted(ckpt["opt_leaves"])]
         new_opt = jax.tree.unflatten(treedef, leaves)
+    elif "opt_state" in ckpt:                       # legacy checkpoints
+        new_opt = jax.tree.unflatten(treedef, jax.tree.leaves(ckpt["opt_state"]))
     return state.replace(step=jnp_asarray_i32(ckpt["step"]),
                          params=ckpt["params"],
                          batch_stats=ckpt.get("batch_stats", {}),
