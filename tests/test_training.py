@@ -173,3 +173,49 @@ def test_full_resume_roundtrip(tmp_path):
     restored2, aux = step(restored, batch, jax.random.PRNGKey(2),
                           jnp.float32(0.1))
     assert np.isfinite(float(aux["loss"]))
+
+
+def test_in_training_validation_and_best_ckpt(tmp_path):
+    """Trainer runs val_fn at the eval cadence, saves per-eval checkpoints
+    and tracks the best score (reference: eval_epoch_* driving the saved
+    checkpoint list, train_utils.py:150-515)."""
+    from ws3d_tpu.training.validation import make_val_fn
+
+    cfg = _tiny_rpn_cfg()
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(0))
+    state = create_train_state(model, cfg, variables, total_steps=8,
+                               stage="rpn")
+    src = SyntheticKitti(num_scenes=4, points_per_scene=2000, seed=0)
+    ds = RPNDataset(src, cfg, mode="TRAIN", npoints=256)
+    val_src = SyntheticKitti(num_scenes=2, points_per_scene=2000, seed=77)
+    val_ds = RPNDataset(val_src, cfg, mode="EVAL", npoints=256)
+    val_fn = make_val_fn(model, cfg, "rpn",
+                         lambda: val_ds.batches(2, steps=1, shuffle=False))
+
+    trainer = Trainer(model, cfg, state, stage="rpn", log_fn=lambda *a: None)
+    trainer.train_steps(ds.batches(2), total_steps=8, epoch_size=2,
+                        ckpt_dir=str(tmp_path), val_fn=val_fn, val_every=4)
+    assert trainer.best_val is not None
+    assert "gt_recall" in trainer.best_val
+    evals = [d for d in os.listdir(tmp_path) if d.startswith("rpn_ckpt_e")]
+    assert len(evals) == 2                       # steps 4 and 8
+    assert os.path.isdir(tmp_path / "rpn_ckpt_best")
+
+
+def test_rcnn_validator_metrics():
+    from ws3d_tpu.training.validation import Validator
+
+    cfg = _tiny_rcnn_cfg(ioun=True)
+    cfg.RCNN.ENABLED = True
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(0))
+    state = create_train_state(model, cfg, variables, total_steps=4,
+                               stage="ioun")
+    db = synthetic_proposal_database(num=8, seed=2, crop_points=128)
+    val_ds = BoxPlaceDataset(db, cfg, mode="EVAL", npoints=128)
+    v = Validator(model, cfg, "ioun")
+    m = v.run(state, val_ds.batches(4, steps=2, shuffle=False))
+    for key in ("iou_mean", "recall_0.5", "refined_recall_0.7",
+                "iou_pred_mae", "score"):
+        assert key in m and np.isfinite(m[key]), (key, m)

@@ -28,6 +28,11 @@ def main():
     p.add_argument("--weakly_ratio", type=float, default=None)
     p.add_argument("--db_size", type=int, default=64,
                    help="synthetic database size")
+    p.add_argument("--val_ratio", type=float, default=0.1,
+                   help="held-out fraction of the database for in-training "
+                        "eval (0 disables)")
+    p.add_argument("--val_every", type=int, default=None,
+                   help="eval cadence in steps (default total/20)")
     args = p.parse_args()
     cfg, log = setup(args)
     cfg.RPN.ENABLED = False
@@ -57,6 +62,14 @@ def main():
         database = synthetic_proposal_database(num=args.db_size,
                                                seed=args.seed,
                                                crop_points=args.npoints)
+    val_db = []
+    if args.val_ratio and len(database) >= 8:
+        import numpy as np
+        r = np.random.RandomState(666)
+        order = r.permutation(len(database))
+        n_val = max(int(len(database) * args.val_ratio), 2)
+        val_db = [database[i] for i in order[:n_val]]
+        database = [database[i] for i in order[n_val:]]
     ds = BoxPlaceDataset(database, cfg, mode="TRAIN", npoints=args.npoints,
                          seed=args.seed, weakly_ratio=args.weakly_ratio)
     log.info("stage-2 dataset: %d samples (stage=%s cascade=%d)",
@@ -89,9 +102,27 @@ def main():
                 if count >= args.steps:
                     return
 
+    # held-out eval during training (reference: eval_epoch_rcnn/ioun on
+    # small_val, train_utils.py:248-515)
+    val_fn = None
+    if val_db:
+        from ws3d_tpu.training.validation import make_val_fn
+        val_ds = BoxPlaceDataset(val_db, cfg, mode="EVAL",
+                                 npoints=args.npoints, seed=args.seed)
+        val_bs = min(args.batch, len(val_ds))
+        val_steps = max(len(val_ds) // val_bs, 1)
+        val_fn = make_val_fn(model, cfg, args.stage,
+                             lambda: val_ds.batches(val_bs, steps=val_steps,
+                                                    shuffle=False))
+        log.info("in-training val: %d held-out crops", len(val_ds))
+
     trainer.train_steps(batches(), total_steps=args.steps,
                         log_every=max(args.steps // 100, 1),
-                        epoch_size=epoch_size)
+                        epoch_size=epoch_size,
+                        ckpt_dir=args.output_dir,
+                        val_fn=val_fn, val_every=args.val_every)
+    if trainer.best_val is not None:
+        log.info("best val: %s", trainer.best_val)
     trainer.recalibrate_bn(ds.batches(args.batch, steps=20))
     ckpt = os.path.join(args.output_dir, f"{args.stage}_ckpt")
     save_checkpoint(ckpt, trainer.state)

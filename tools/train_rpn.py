@@ -25,6 +25,10 @@ def main():
     p.add_argument("--ckpt_every", type=int, default=1000)
     p.add_argument("--scenes", type=int, default=64,
                    help="synthetic scene count")
+    p.add_argument("--val_scenes", type=int, default=8,
+                   help="small_val scene count (0 disables in-training eval)")
+    p.add_argument("--val_every", type=int, default=None,
+                   help="eval cadence in steps (default total/20)")
     p.add_argument("--mesh", type=int, default=0,
                    help="data-parallel over N devices (0 = single)")
     args = p.parse_args()
@@ -66,11 +70,38 @@ def main():
         trainer.state = restore_train_state(trainer.state, args.ckpt)
         log.info("resumed from %s at step %d", args.ckpt,
                  int(trainer.state.step))
+    # small_val in-training eval (reference: eval_epoch_rpn on small_val
+    # every ~E/20 epochs, train_utils.py:150-245,523)
+    val_fn = None
+    if args.val_scenes:
+        from ws3d_tpu.training.validation import make_val_fn
+        if args.synthetic or not args.data_root:
+            from ws3d_tpu.datasets import SyntheticKitti
+            val_src = SyntheticKitti(num_scenes=args.val_scenes,
+                                     points_per_scene=18000,
+                                     seed=args.seed + 1000)
+        else:
+            from ws3d_tpu.datasets import KittiRaw
+            try:
+                val_src = KittiRaw(args.data_root, split="small_val")
+            except Exception:
+                val_src = KittiRaw(args.data_root, split="val")
+        val_ds = RPNDataset(val_src, cfg, mode="EVAL", seed=args.seed)
+        val_bs = min(args.batch, max(len(val_ds), 1))
+        val_steps = max(len(val_ds) // val_bs, 1)
+        val_fn = make_val_fn(model, cfg, "rpn",
+                             lambda: val_ds.batches(val_bs, steps=val_steps,
+                                                    shuffle=False))
+        log.info("in-training val: %d scenes", len(val_ds))
+
     trainer.train_steps(ds.batches(args.batch), total_steps=args.steps,
                         log_every=max(args.steps // 100, 1),
                         epoch_size=epoch_size,
                         ckpt_every=args.ckpt_every,
-                        ckpt_dir=args.output_dir)
+                        ckpt_dir=args.output_dir,
+                        val_fn=val_fn, val_every=args.val_every)
+    if trainer.best_val is not None:
+        log.info("best val: %s", trainer.best_val)
     trainer.recalibrate_bn(ds.batches(args.batch))
 
     ckpt = os.path.join(args.output_dir, "rpn_ckpt")

@@ -227,11 +227,23 @@ class Trainer:
     def train_steps(self, batch_iter, total_steps: int,
                     log_every: int = 10, epoch_size: Optional[int] = None,
                     prefetch_size: int = 2, ckpt_every: Optional[int] = None,
-                    ckpt_dir: Optional[str] = None):
+                    ckpt_dir: Optional[str] = None,
+                    val_fn=None, val_every: Optional[int] = None):
+        """Step loop. When `val_fn(state) -> metric dict` is given (see
+        ws3d_tpu.training.validation.make_val_fn), it runs every `val_every`
+        steps (default ~total/20, the reference's eval cadence,
+        train_utils.py:523) and at the final step; each eval saves a
+        `{stage}_ckpt_e{k}` checkpoint under ckpt_dir and the best `score`
+        additionally updates `{stage}_ckpt_best` — the per-eval list is what
+        tools/eval_all_ckpt.py sweeps."""
         from ws3d_tpu.utils.prefetch import prefetch
         if prefetch_size:
             batch_iter = prefetch(batch_iter, size=prefetch_size)
+        if val_fn is not None and not val_every:
+            val_every = max(total_steps // 20, 1)
         history = []
+        self.best_val = None
+        n_eval = 0
         for i, batch in enumerate(batch_iter):
             if i >= total_steps:
                 break
@@ -251,6 +263,10 @@ class Trainer:
                 if self.writer is not None:
                     self.writer.write(i, vals)
                 history.append(vals)
+            last = i == total_steps - 1
+            if val_fn is not None and ((i + 1) % val_every == 0 or last):
+                n_eval += 1
+                self._run_validation(val_fn, i, n_eval, ckpt_dir)
             if (ckpt_every and ckpt_dir and i > 0 and i % ckpt_every == 0):
                 from ws3d_tpu.training.checkpoint import save_train_state
                 import os
@@ -261,3 +277,25 @@ class Trainer:
             self.writer.close()
             self.writer = None
         return history
+
+    def _run_validation(self, val_fn, step: int, n_eval: int,
+                        ckpt_dir: Optional[str]):
+        metrics = val_fn(self.state)
+        self.log_fn(f"val @ step {step}: " + " ".join(
+            f"{k}={v:.4f}" for k, v in sorted(metrics.items())))
+        if self.writer is not None:
+            self.writer.write(step, {f"val/{k}": v
+                                     for k, v in metrics.items()})
+        if ckpt_dir:
+            import os
+            from ws3d_tpu.training.checkpoint import save_checkpoint
+            save_checkpoint(os.path.join(
+                ckpt_dir, f"{self.stage}_ckpt_e{n_eval}"), self.state)
+            score = metrics.get("score")
+            if score is not None and (self.best_val is None
+                                      or score > self.best_val["score"]):
+                self.best_val = {"step": step, **metrics}
+                save_checkpoint(os.path.join(
+                    ckpt_dir, f"{self.stage}_ckpt_best"), self.state)
+                self.log_fn(f"new best val score {score:.4f} @ step {step}")
+        return metrics
