@@ -113,3 +113,42 @@ def test_two_stage_fn_end_to_end(rng):
     assert out["scores"].shape == (2, 8)
     assert out["keep"].shape == (2, 8)
     assert np.all(np.isfinite(np.asarray(out["boxes"])))
+
+
+def test_crop_membership_counts_and_order():
+    """Whole-crop membership: first-k indices in point order + true count
+    (generate_box_dataset.py:216-232 keeps all in-4m points)."""
+    import jax.numpy as jnp
+    from ws3d_tpu.pipeline.inference import crop_membership
+
+    rng = np.random.RandomState(0)
+    pts = rng.randn(64, 3).astype(np.float32) * 3
+    centers = np.zeros((2, 2), np.float32)
+    valid = np.ones(64, bool)
+    valid[50:] = False                      # duplicate-padded tail
+    idx, count = jax.jit(lambda p, c, v: crop_membership(p, c, 8, v))(
+        jnp.asarray(pts), jnp.asarray(centers), jnp.asarray(valid))
+    idx, count = np.asarray(idx), np.asarray(count)
+    d = np.hypot(pts[:50, 0], pts[:50, 2])
+    expect = np.where(d < 4.0)[0]
+    assert count[0] == len(expect)
+    take = min(len(expect), 8)
+    np.testing.assert_array_equal(idx[0, :take], expect[:take])
+
+
+def test_whole_scene_sample_duplicate_padding():
+    from ws3d_tpu.config import load_config
+    from ws3d_tpu.datasets import SyntheticKitti, RPNDataset
+
+    cfg = load_config()
+    src = SyntheticKitti(num_scenes=1, points_per_scene=3000, seed=0)
+    ds = RPNDataset(src, cfg, mode="EVAL", seed=0)
+    s = ds.get_whole_scene(0, max_points=4096)
+    assert s["pts_input"].shape == (4096, 4)
+    n = int(s["n_valid"])
+    assert 0 < n <= 4096
+    assert s["valid"][:n].all() and not s["valid"][n:].any()
+    # padded rows duplicate the head of the cloud (wraparound)
+    if n < 4096:
+        np.testing.assert_array_equal(s["pts_input"][n], s["pts_input"][0])
+    assert s["gt_boxes"].shape[1] == 7 and s["noise_boxes"].shape[1] == 7

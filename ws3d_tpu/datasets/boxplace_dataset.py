@@ -43,15 +43,21 @@ class BoxPlaceDataset:
     database: list of dicts with keys
       sample_id, box_id, center (3,), foreground_flag (bool),
       gt_boxes (7,) crop-frame bottom-y gt box (zeros for background),
-      cur_box_point (N, 3), cur_box_reflect (N,), cur_prob_mask (N,),
-      gt_mask (N,)
+      cur_box_point (N, 3) — VARIABLE N (all in-4m points, padded at load
+      time), cur_box_reflect (N,), cur_prob_mask (N,) raw sigmoid RPN
+      scores, gt_mask (N,) 0/1
     — the record layout produced by generate_box_dataset
-    (/root/reference/generate_box_dataset.py:293-322).
+    (/root/reference/generate_box_dataset.py:293-322). At load time the
+    masks are converted like kitti_boxplace_dataset.py:95-96:
+    prob -> (raw > 0.5) - 0.5, gt -> raw - 0.5.
     """
 
     def __init__(self, database: List[Dict], cfg, mode: str = "TRAIN",
                  npoints: int = NPOINTS, seed: int = 666,
-                 aug_copies: int = 4, weakly_ratio: Optional[float] = None):
+                 aug_copies: int = 4, weakly_ratio: Optional[float] = None,
+                 mask_format: str = "raw"):
+        assert mask_format in ("raw", "pm"), mask_format
+        self.mask_format = mask_format
         self.cfg = cfg
         self.mode = mode
         self.npoints = npoints
@@ -85,6 +91,10 @@ class BoxPlaceDataset:
         reflect = np.array(data["cur_box_reflect"], np.float32).reshape(-1).copy()
         prob_mask = np.array(data["cur_prob_mask"], np.float32).reshape(-1).copy()
         gt_mask = np.array(data["gt_mask"], np.float32).reshape(-1).copy()
+        if self.mask_format == "raw":
+            # kitti_boxplace_dataset.py:95-96
+            prob_mask = (prob_mask > 0.5).astype(np.float32) - 0.5
+            gt_mask = gt_mask - 0.5
         gt_box = np.array(data["gt_boxes"], np.float32).reshape(-1)[:7].copy()
         fg = bool(data["foreground_flag"])
         cls = np.float32(1.0 if fg else 0.0)
@@ -130,6 +140,14 @@ class BoxPlaceDataset:
                 keep = 32 if r6[3] > 0.7 else 128
                 pts, reflect = pts[:keep], reflect[:keep]
                 prob_mask, gt_mask = prob_mask[:keep], gt_mask[:keep]
+
+        if self.mode != "TRAIN" and pts.shape[0] > self.npoints:
+            # variable-size records: deterministic first-npoints cut in
+            # point order for EVAL (TRAIN subsamples via the permutation +
+            # truncate above)
+            pts, reflect = pts[:self.npoints], reflect[:self.npoints]
+            prob_mask = prob_mask[:self.npoints]
+            gt_mask = gt_mask[:self.npoints]
 
         # wraparound pad to npoints (:333-337)
         n = pts.shape[0]
@@ -269,7 +287,8 @@ def synthetic_proposal_database(num: int = 64, seed: int = 0,
                                 fg_ratio: float = 0.7) -> List[Dict]:
     """Build a synthetic stage-2 database without running stage 1: car-shaped
     crops centered near the proposal center, matching the record layout of
-    generate_box_dataset.py:293-322. For tests and smoke training."""
+    generate_box_dataset.py:293-322 (raw mask format: prob_mask = sigmoid
+    scores in [0,1], gt_mask 0/1). For tests and smoke training."""
     from ws3d_tpu.datasets.synthetic import _car_surface_points, CAR_MEAN_HWL
     rng = np.random.RandomState(seed)
     db = []
@@ -297,9 +316,10 @@ def synthetic_proposal_database(num: int = 64, seed: int = 0,
         perm = rng.permutation(pts.shape[0])
         pts = pts[perm]
         is_car = (perm < n_car)
-        prob_mask = np.where(is_car, 0.5, -0.5).astype(np.float32)
+        prob_mask = np.where(is_car, 0.9, 0.1).astype(np.float32)
         prob_mask += rng.randn(crop_points).astype(np.float32) * 0.05
-        gt_mask = np.where(is_car, 0.5, -0.5).astype(np.float32)
+        prob_mask = np.clip(prob_mask, 0.0, 1.0)
+        gt_mask = is_car.astype(np.float32)
         db.append({
             "sample_id": i, "box_id": 0,
             "center": np.zeros(3, np.float32),

@@ -207,6 +207,62 @@ class RPNDataset:
     def __len__(self):
         return len(self.sample_ids)
 
+    def get_whole_scene(self, index: int,
+                        max_points: Optional[int] = None) -> Dict[str, np.ndarray]:
+        """Whole-scene sample for proposal-DB generation: ALL valid points
+        (z-sorted, intensity - 0.5) with no 16,384-point subsample, matching
+        the reference boxgen loader (kitti_boxgen_dataset.py:144-211).
+
+        For fixed jit shapes the cloud is duplicate-padded (wraparound) to
+        `max_points`; padded rows carry valid=False so proposal/crop stages
+        can ignore them. Scenes larger than max_points are uniformly
+        subsampled (rare; logged via the returned n_valid).
+
+        Returns dict(pts_input (P, 3+C), valid (P,) bool, n_valid int,
+        gt_boxes (G, 7) real labels, noise_boxes (Gn, 7), sample_id).
+        """
+        cfg = self.cfg
+        scene = self.source.get_scene(self.sample_ids[index], with_noise=True)
+        order = np.argsort(-scene.pts_lidar[:, 2])
+        pts_lidar = scene.pts_lidar[order]
+        pts_rect = scene.calib.lidar_to_rect(pts_lidar[:, 0:3])
+        intensity = pts_lidar[:, 3]
+        pts_img, depth = scene.calib.rect_to_img(pts_rect)
+        ok = valid_point_mask(pts_rect, pts_img, depth, scene.image_shape,
+                              cfg.PC_AREA_SCOPE if cfg.PC_REDUCE_BY_RANGE
+                              else None)
+        pts_rect, intensity = pts_rect[ok], intensity[ok] - 0.5
+
+        if cfg.RPN.USE_INTENSITY:
+            pts_input = np.hstack([pts_rect,
+                                   intensity[:, None]]).astype(np.float32)
+        else:
+            pts_input = pts_rect.astype(np.float32)
+
+        n = pts_input.shape[0]
+        if max_points is not None:
+            if n > max_points:
+                choice = np.sort(self.rng.choice(n, max_points,
+                                                 replace=False))
+                pts_input = pts_input[choice]
+                n = max_points
+                valid = np.ones(max_points, bool)
+            else:
+                pts_input = pts_input[np.arange(max_points) % max(n, 1)]
+                valid = np.zeros(max_points, bool)
+                valid[:n] = True
+        else:
+            valid = np.ones(n, bool)
+
+        real = [o for o in scene.labels if o.cls_type in ("Car", "Van")]
+        noise = [o for o in scene.noise_labels
+                 if o.cls_type in ("Car", "Van")]
+        return {"pts_input": pts_input, "valid": valid,
+                "n_valid": np.int32(n),
+                "gt_boxes": objs_to_boxes3d(real).reshape(-1, 7),
+                "noise_boxes": objs_to_boxes3d(noise).reshape(-1, 7),
+                "sample_id": np.int32(scene.sample_id)}
+
     def get_sample(self, index: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         scene = self.source.get_scene(self.sample_ids[index], with_noise=True)

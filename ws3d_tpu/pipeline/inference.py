@@ -40,7 +40,8 @@ def rpn_propose(rpn_cls: jnp.ndarray, rpn_reg: jnp.ndarray,
                 backbone_xyz: jnp.ndarray, loc_scope: float,
                 loc_bin_size: float, score_thresh: float = 0.3,
                 pre_nms_top: int = 512, max_proposals: int = 64,
-                nms_radius: float = RADIUS_NMS):
+                nms_radius: float = RADIUS_NMS,
+                point_valid: jnp.ndarray | None = None):
     """Single scene: (N, 1), (N, C), (N, 3) -> proposal centers.
 
     :return: centers_xz (K, 2), scores_raw (K,), valid (K,) — score-sorted.
@@ -56,6 +57,8 @@ def rpn_propose(rpn_cls: jnp.ndarray, rpn_reg: jnp.ndarray,
         jnp.square(rois[:, 0] - backbone_xyz[:, 0])
         + jnp.square(rois[:, 2] - backbone_xyz[:, 2]))
     mask = (scores_norm > score_thresh) & (vote_dist > MIN_VOTE_DIST)
+    if point_valid is not None:
+        mask &= point_valid                 # duplicate-padded points
 
     neg_inf = jnp.asarray(-jnp.inf, scores_raw.dtype)
     masked_scores = jnp.where(mask, scores_raw, neg_inf)
@@ -103,6 +106,25 @@ def crop_for_rcnn(pts_input: jnp.ndarray, scores_norm: jnp.ndarray,
     return ({"cur_box_point": jnp.where(zero, 0.0, crop_xyz),
              "cur_box_reflect": jnp.where(zero, 0.0, crop_reflect),
              "train_mask": jnp.where(zero, 0.0, crop_mask)}, empty)
+
+
+def crop_membership(xyz: jnp.ndarray, centers_xz: jnp.ndarray,
+                    max_crop: int, point_valid: jnp.ndarray | None = None,
+                    radius: float = CROP_RADIUS):
+    """Whole-crop membership for DB generation: first-`max_crop` in-radius
+    point indices per proposal, in point order, plus the true in-radius
+    count (the reference keeps ALL points within 4 m,
+    generate_box_dataset.py:216-232 — the host slices idx[:count]).
+
+    :return: idx (K, max_crop) int32, count (K,) int32
+    """
+    d2 = (jnp.square(xyz[None, :, 0] - centers_xz[:, None, 0])
+          + jnp.square(xyz[None, :, 2] - centers_xz[:, None, 1]))
+    member = d2 < radius * radius
+    if point_valid is not None:
+        member &= point_valid[None, :]
+    idx, _ = _first_k_wraparound(member, max_crop)
+    return idx, jnp.sum(member, axis=-1).astype(jnp.int32)
 
 
 def finalize_detections(boxes: jnp.ndarray, rcnn_cls: jnp.ndarray,
