@@ -152,3 +152,20 @@ def test_whole_scene_sample_duplicate_padding():
     if n < 4096:
         np.testing.assert_array_equal(s["pts_input"][n], s["pts_input"][0])
     assert s["gt_boxes"].shape[1] == 7 and s["noise_boxes"].shape[1] == 7
+
+
+def test_expand_clicks_no_truncation():
+    """8 clicks -> 200 hypotheses must ALL be scored (round-1 cap silently
+    dropped hypotheses past 128)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from eval_active import expand_clicks
+
+    clicks = np.random.RandomState(0).randn(8, 2).astype(np.float32) * 10
+    hyp, valid = expand_clicks(clicks)
+    assert valid.sum() == 8 * 25 == 200
+    assert hyp.shape[0] == 256            # next jit bucket
+    # every click's 25-point grid is present
+    for c in clicks:
+        d = np.abs(hyp[valid] - c).max(axis=1)
+        assert (d < 0.21).sum() >= 25

@@ -22,24 +22,32 @@ GRID = 5
 GRID_STEP = 0.1
 
 
-def expand_clicks(centers_xz: np.ndarray, max_slots: int) -> np.ndarray:
-    """(M, 2) clicks -> (max_slots, 2) 5x5-grid hypotheses + valid mask."""
+SLOT_BUCKETS = (128, 256, 512, 1024)
+
+
+def expand_clicks(centers_xz: np.ndarray):
+    """(M, 2) clicks -> (slots, 2) 5x5-grid hypotheses + valid mask, padded
+    to the smallest fitting jit bucket so NO hypothesis is dropped (the
+    reference loops all of them, eval_active.py:203-209,251-309; a fixed cap
+    silently truncated scenes with >5 clicks)."""
     offs = (np.arange(GRID) - GRID // 2) * GRID_STEP
     grid = np.stack(np.meshgrid(offs, offs), -1).reshape(-1, 2)   # (25, 2)
     hyp = (centers_xz[:, None, :] + grid[None]).reshape(-1, 2)
-    valid = np.ones(hyp.shape[0], bool)
-    if hyp.shape[0] < max_slots:
-        pad = np.zeros((max_slots - hyp.shape[0], 2), np.float32)
-        hyp = np.concatenate([hyp, pad])
-        valid = np.concatenate([valid, np.zeros(max_slots - valid.shape[0],
-                                                bool)])
-    return hyp[:max_slots].astype(np.float32), valid[:max_slots]
+    n = hyp.shape[0]
+    slots = next((b for b in SLOT_BUCKETS if b >= n), None)
+    if slots is None:
+        raise ValueError(
+            f"{n} hypotheses ({centers_xz.shape[0]} clicks) exceed the "
+            f"largest jit bucket {SLOT_BUCKETS[-1]}; split the scene")
+    valid = np.zeros(slots, bool)
+    valid[:n] = True
+    pad = np.zeros((slots - n, 2), np.float32)
+    return (np.concatenate([hyp, pad]).astype(np.float32), valid)
 
 
 def main():
     p = base_parser("click-seeded annotator eval (stage-2 only)")
     p.add_argument("--scenes", type=int, default=16)
-    p.add_argument("--max_hypotheses", type=int, default=128)
     p.add_argument("--no_ap", action="store_true")
     args = p.parse_args()
     cfg, log = setup(args)
@@ -65,10 +73,10 @@ def main():
         log.info("loaded ckpt %s", args.ckpt)
 
     variables = jax.device_put(variables)   # pin once: restored ckpts are host numpy
-    K = args.max_hypotheses
 
     @jax.jit
     def infer(pts, scores_norm, centers, valid):
+        K = centers.shape[0]          # bucketed slot count (128/256/512/1024)
         crops, empty = crop_for_rcnn(pts, scores_norm, centers)
         out = model.apply(variables, crops, train=False,
                           method=model.rcnn_forward)
@@ -79,6 +87,8 @@ def main():
                                    rcnn_thresh=cfg.RCNN.SCORE_THRESH,
                                    iou_thresh=cfg.IOUN.SCORE_THRESH)
 
+    from ws3d_tpu.eval.recall import RecallTally
+    tally = RecallTally()
     out_dir = os.path.join(args.output_dir, "final_result", "data")
     gt_frames, dt_paths = [], []
     for i in range(args.scenes):
@@ -99,7 +109,7 @@ def main():
                               np.zeros((0, 7)), out_dir, np.zeros(0),
                               scene.image_shape, classes=cfg.CLASSES)
         else:
-            hyp, valid = expand_clicks(clicks[:, [0, 2]], K)
+            hyp, valid = expand_clicks(clicks[:, [0, 2]])
             # no RPN here: every crop point is 'foreground' for the mask
             scores = np.ones(pts.shape[0], np.float32)
             boxes, scores_out, keep = jax.tree.map(np.asarray, infer(
@@ -108,11 +118,17 @@ def main():
             save_kitti_format(scene.sample_id, scene.calib, boxes[keep],
                               out_dir, scores_out[keep], scene.image_shape,
                               classes=cfg.CLASSES)
-            log.info("scene %d: %d clicks -> %d boxes", i, clicks.shape[0],
+            gt_boxes = objs_to_boxes3d(
+                [o for o in scene.labels if o.cls_type in ("Car", "Van")])
+            tally.update(boxes[keep], gt_boxes)
+            log.info("scene %d: %d clicks -> %d hypothesis slots -> %d "
+                     "boxes", i, clicks.shape[0], hyp.shape[0],
                      int(keep.sum()))
         gt_frames.append(scene.labels)
         dt_paths.append(os.path.join(out_dir, "%06d.txt" % scene.sample_id))
 
+    for line in tally.summary_lines():
+        log.info(line)
     if not args.no_ap:
         gt_annos = annos_from_objects(gt_frames)
         dt_annos = []

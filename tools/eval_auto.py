@@ -98,6 +98,9 @@ def main():
     fn = jax.jit(make_two_stage_fn(model, cfg))
     out_dir = os.path.join(args.output_dir, "final_result", "data")
 
+    from ws3d_tpu.datasets.kitti_io import objs_to_boxes3d
+    from ws3d_tpu.eval.recall import RecallTally
+    tally = RecallTally()
     gt_frames, det_count = [], 0
     n = min(len(ds), args.scenes)
     bsz = max(args.batch, 1)
@@ -119,9 +122,15 @@ def main():
                               boxes, out_dir, scores, scene.image_shape,
                               classes=cfg.CLASSES)
             gt_frames.append(scene.labels)
-            log.info("scene %d: %d detections", i, boxes.shape[0])
+            gt_boxes = objs_to_boxes3d(
+                [o for o in scene.labels if o.cls_type in ("Car", "Van")])
+            tally.update(boxes, gt_boxes)
+            log.info("scene %d: %d detections (recall %d/%d)", i,
+                     boxes.shape[0], tally.recalled[3], tally.total_gt)
 
     log.info("total detections: %d over %d scenes", det_count, n)
+    for line in tally.summary_lines():
+        log.info(line)
     if not args.no_ap:
         gt_annos = annos_from_objects(gt_frames)
         dt_annos = []

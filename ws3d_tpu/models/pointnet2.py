@@ -46,7 +46,8 @@ class PointnetSAModuleMSG(nn.Module):
         else:
             new_xyz = None
 
-        if self.npoint is not None:
+        use_fused = self._use_fused(xyz, features)
+        if self.npoint is not None and not use_fused:
             # one shared distance matrix across the radius scales
             idx_per_scale = ball_query_multi(
                 [float(r) for r in self.radii],
@@ -56,10 +57,10 @@ class PointnetSAModuleMSG(nn.Module):
         for i in range(len(self.radii)):
             mlp = SharedMLP(self.mlps[i], use_bn=self.use_bn,
                             dtype=self.dtype, name=f"mlp_{i}")
-            if self._use_fused(features):
-                # fused gather+MLP+maxpool kernel (BN-free stages): identical
-                # param tree — the dummy call materializes the Dense params,
-                # whose values feed the Pallas kernel
+            if use_fused:
+                # fully fused ball-query+gather+MLP+maxpool kernel (BN-free
+                # stages): identical param tree — the dummy call materializes
+                # the Dense params, whose values feed the Pallas kernel
                 cin = features.shape[-1] + 3
                 _ = mlp(jnp.zeros((1, 1, 1, cin), xyz.dtype), train=train)
                 p = mlp.variables["params"]
@@ -67,9 +68,10 @@ class PointnetSAModuleMSG(nn.Module):
                            for k in range(len(self.mlps[i]))]
                 biases = [p[f"Dense_{k}"]["bias"]
                           for k in range(len(self.mlps[i]))]
-                from ws3d_tpu.ops.fused_sa_pallas import fused_sa_single_scale
-                outs.append(fused_sa_single_scale(
-                    xyz, features, new_xyz, idx_per_scale[i], kernels, biases))
+                from ws3d_tpu.ops.fused_sa_bq_pallas import fused_sa_ballquery
+                outs.append(fused_sa_ballquery(
+                    xyz, features, new_xyz, float(self.radii[i]),
+                    int(self.nsamples[i]), kernels, biases))
                 continue
             if self.npoint is not None:
                 grouped = group_with_idx(idx_per_scale[i], xyz, new_xyz,
@@ -81,10 +83,10 @@ class PointnetSAModuleMSG(nn.Module):
             outs.append(jnp.max(h, axis=2))
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
-    def _use_fused(self, features) -> bool:
+    def _use_fused(self, xyz, features) -> bool:
         if (self.npoint is None or self.use_bn or not self.use_xyz
                 or features is None or self.dtype is not None
-                or self.npoint % 8 != 0):
+                or self.npoint % 8 != 0 or xyz.shape[1] % 128 != 0):
             return False
         try:
             return jax.default_backend() in ("tpu", "axon")

@@ -1,0 +1,228 @@
+"""Fully fused set-abstraction kernel: ball query + gather + MLP + max-pool.
+
+One Pallas program per (batch row, query tile) computes the squared-distance
+block to all points, runs the in-kernel rank search (prefix sums via bf16
+MXU matmuls — exact for counts <= 128), and instead of materializing index
+lists builds the SELECTOR matrix sel[m, s, j] = in_ball[m, j] &
+(rank[m, j] == target[m, s]) directly in registers. The "gather" is then
+sel @ comb on the MXU, followed by the shared MLP (center-subtract folded
+into the first bias) and the S-axis max-pool.
+
+Compared to the ball_query_pallas + fused_sa_pallas pair this removes the
+(B, M, S) index round-trip through HBM and one full kernel launch per SA
+stage; semantics stay CUDA-exact (first-nsample in ascending order,
+pad-with-first, point-0 on empty — ball_query_gpu.cu:9-67,
+pointnet2_modules.py:19-55).
+
+P is processed in 128-lane tiles with a running global rank, so the same
+kernel serves stage-2 crops (P=128..512) and backbone-scale clouds.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LANE = 128
+
+
+def _kernel(S, radius, n_layers, n_total,
+            qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref, comb_ref,
+            *wb_and_out):
+    w_refs = wb_and_out[:n_layers]
+    b_refs = wb_and_out[n_layers:2 * n_layers]
+    out_ref = wb_and_out[2 * n_layers]
+
+    MT = qx_ref.shape[2]
+    T = px_ref.shape[2]
+
+    q = jnp.concatenate([qx_ref[0, 0], qy_ref[0, 0], qz_ref[0, 0]],
+                        axis=1)                              # (MT, 3)
+    px, py, pz = px_ref[0, 0], py_ref[0, 0], pz_ref[0, 0]    # (T, 128)
+    comb = comb_ref[0]                                       # (N, Cin)
+
+    # squared distances (MT, T, 128) — exact f32 three-pass form
+    dx = qx_ref[0, 0][:, :, None] - px[None, :, :]
+    dy = qy_ref[0, 0][:, :, None] - py[None, :, :]
+    dz = qz_ref[0, 0][:, :, None] - pz[None, :, :]
+    d2 = dx * dx + dy * dy + dz * dz
+
+    in_ball = d2 < radius * radius                           # (MT, T, 128)
+    maskf = in_ball.astype(jnp.bfloat16)
+
+    # inclusive prefix within each 128-lane tile (counts <= 128: exact bf16)
+    li = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+    L128 = (lj <= li).astype(jnp.bfloat16).T
+    prefix = jax.lax.dot_general(
+        maskf, L128, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (MT, T, 128)
+    tile_sum = prefix[..., LANE - 1]                          # (MT, T)
+    ti = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    tj = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    LT = (tj <= ti).astype(jnp.float32).T
+    tile_end = jax.lax.dot_general(
+        tile_sum, LT, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)                  # (MT, T)
+    tile_base = tile_end - tile_sum
+    count = tile_end[:, T - 1:T]                             # (MT, 1)
+
+    # slot targets with pad-with-first semantics: slot s (0-based) selects
+    # the (s+1)-th in-ball point, or the 1st once past the count
+    s_iota = (jax.lax.broadcasted_iota(jnp.int32, (MT, S), 1)
+              + 1).astype(jnp.float32)                       # (MT, S)
+    target = jnp.where(s_iota <= count, s_iota, 1.0)         # (MT, S)
+
+    # selector-matmul gather, tile by tile (running global rank)
+    g = None
+    for t in range(T):
+        rank_t = prefix[:, t, :] + tile_base[:, t][:, None]  # (MT, 128)
+        sel_t = ((rank_t[:, None, :] == target[:, :, None])
+                 & in_ball[:, t, :][:, None, :])             # (MT, S, 128)
+        part = jax.lax.dot_general(
+            sel_t.astype(jnp.bfloat16),
+            comb[t * LANE:(t + 1) * LANE, :].astype(jnp.bfloat16),
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (MT, S, Cin)
+        g = part if g is None else g + part
+
+    # empty centers gather point 0 (CUDA zero-on-empty -> index 0)
+    empty = (count == 0.0)[:, :, None]                       # (MT, 1, 1)
+    g = jnp.where(empty, comb[0:1, :][None].astype(jnp.float32), g)
+
+    h = g
+    for li_ in range(n_layers):
+        W = w_refs[li_][...]
+        b = b_refs[li_][...]
+        if li_ == 0:
+            # fold the center-subtract into the bias: b - q @ W[:3]
+            b_eff = b - jax.lax.dot_general(
+                q, W[:3, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (MT, Cout)
+            b_eff = b_eff[:, None, :]
+        else:
+            b_eff = b[None, :, :]
+        h = jax.lax.dot_general(h, W, (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        h = jnp.maximum(h + b_eff, 0.0)
+
+    out_ref[0, 0] = jnp.max(h, axis=1)                       # (MT, Cout)
+
+
+def _xla_reference(xyz, features, new_xyz, radius, nsample, kernels, biases):
+    """Unfused composition (ball query + group + dense stack + max) — the
+    backward path and the golden reference in tests."""
+    from ws3d_tpu.ops.grouping import query_and_group
+    h = query_and_group(float(radius), int(nsample), xyz, new_xyz, features,
+                        use_xyz=True)
+    for k, b in zip(kernels, biases):
+        h = jnp.maximum(jnp.einsum("bmsc,cd->bmsd", h, k) + b, 0.0)
+    return jnp.max(h, axis=2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 7))
+def _fused(xyz, features, new_xyz, radius, nsample, kernels, biases,
+           interpret):
+    return _pallas_forward(xyz, features, new_xyz, radius, nsample,
+                           kernels, biases, interpret)
+
+
+def _fused_fwd(xyz, features, new_xyz, radius, nsample, kernels, biases,
+               interpret):
+    out = _pallas_forward(xyz, features, new_xyz, radius, nsample,
+                          kernels, biases, interpret)
+    return out, (xyz, features, new_xyz, kernels, biases)
+
+
+def _fused_bwd(radius, nsample, interpret, res, gout):
+    xyz, features, new_xyz, kernels, biases = res
+    _, vjp = jax.vjp(
+        lambda x, f, q, ks, bs: _xla_reference(x, f, q, radius, nsample,
+                                               ks, bs),
+        xyz, features, new_xyz, tuple(kernels), tuple(biases))
+    dx, df, dq, dks, dbs = vjp(gout)
+    return dx, df, dq, dks, dbs
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_sa_ballquery(xyz: jnp.ndarray, features: jnp.ndarray,
+                       new_xyz: jnp.ndarray, radius: float, nsample: int,
+                       kernels: Sequence[jnp.ndarray],
+                       biases: Sequence[jnp.ndarray],
+                       interpret: bool = False) -> jnp.ndarray:
+    """Differentiable wrapper: Pallas forward, XLA-composition backward.
+
+    xyz (B, P, 3), features (B, P, C), new_xyz (B, M, 3),
+    kernels[0] (3+C, C0), ... -> (B, M, C_last). Requires P % 128 == 0,
+    M % 8 == 0.
+    """
+    return _fused(xyz, features, new_xyz, float(radius), int(nsample),
+                  tuple(kernels), tuple(biases), interpret)
+
+
+def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels,
+                    biases, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, P, _ = xyz.shape
+    M = new_xyz.shape[1]
+    S = int(nsample)
+    assert P % LANE == 0 and M % 8 == 0, (P, M)
+    T = P // LANE
+    n_layers = len(kernels)
+    c_out = kernels[-1].shape[1]
+    c_in = 3 + features.shape[2]
+
+    # query tile: bound the dominant VMEM buffers (d2 + g + h0) to ~2 MB
+    per_q = (P * 4) + S * (c_in + kernels[0].shape[1]) * 4
+    budget = max((2 * 1024 * 1024) // per_q, 8)
+    MT = 8
+    for cand in (128, 64, 32, 16, 8):
+        if cand <= budget and M % cand == 0:
+            MT = cand
+            break
+
+    def coord(a, i, shape):
+        return a[..., i].astype(jnp.float32).reshape(shape)
+
+    px = coord(xyz, 0, (B, 1, T, LANE))
+    py = coord(xyz, 1, (B, 1, T, LANE))
+    pz = coord(xyz, 2, (B, 1, T, LANE))
+    qx = coord(new_xyz, 0, (B, M // MT, MT, 1))
+    qy = coord(new_xyz, 1, (B, M // MT, MT, 1))
+    qz = coord(new_xyz, 2, (B, M // MT, MT, 1))
+    comb = jnp.concatenate([xyz.astype(jnp.float32),
+                            features.astype(jnp.float32)], axis=-1)
+
+    qspec = pl.BlockSpec((1, 1, MT, 1), lambda b, m: (b, m, 0, 0),
+                         memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((1, 1, T, LANE), lambda b, m: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((1, P, c_in), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    wspecs = [pl.BlockSpec(k.shape, lambda b, m: (0, 0),
+                           memory_space=pltpu.VMEM) for k in kernels]
+    bspecs = [pl.BlockSpec((1, b_.shape[0]), lambda b, m: (0, 0),
+                           memory_space=pltpu.VMEM) for b_ in biases]
+    ospec = pl.BlockSpec((1, 1, MT, c_out), lambda b, m: (b, m, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, S, float(radius), n_layers, P),
+        grid=(B, M // MT),
+        in_specs=[qspec, qspec, qspec, pspec, pspec, pspec, cspec]
+                 + wspecs + bspecs,
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((B, M // MT, MT, c_out), jnp.float32),
+        interpret=interpret,
+    )(qx, qy, qz, px, py, pz, comb,
+      *[k.astype(jnp.float32) for k in kernels],
+      *[b_.reshape(1, -1).astype(jnp.float32) for b_ in biases])
+    return out.reshape(B, M, c_out)
