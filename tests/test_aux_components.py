@@ -122,3 +122,64 @@ def test_prefetch_order_and_errors():
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_shard_batch_multihost_single_process_fallthrough():
+    """process_count == 1 falls through to shard_batch (same shardings)."""
+    import jax
+    from ws3d_tpu.parallel import make_mesh
+    from ws3d_tpu.parallel.mesh import shard_batch, shard_batch_multihost
+
+    mesh = make_mesh(8)
+    batch = {"x": np.arange(32, dtype=np.float32).reshape(8, 4),
+             "s": np.float32(3.0)}
+    a = shard_batch(batch, mesh)
+    b = shard_batch_multihost(batch, mesh)
+    np.testing.assert_array_equal(np.asarray(a["x"]), np.asarray(b["x"]))
+    assert a["x"].sharding == b["x"].sharding
+
+
+def test_shard_batch_multihost_uses_process_local_ctor(monkeypatch):
+    """In a (mocked) multi-process setting every array leaf must go through
+    jax.make_array_from_process_local_data with the batch sharding."""
+    import jax
+    from ws3d_tpu.parallel import make_mesh
+    from ws3d_tpu.parallel.mesh import batch_sharding, shard_batch_multihost
+
+    mesh = make_mesh(8)
+    calls = []
+
+    def fake_ctor(sharding, arr, *a, **k):
+        calls.append((sharding, np.asarray(arr).shape))
+        return jax.device_put(np.asarray(arr), sharding)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "make_array_from_process_local_data", fake_ctor)
+    batch = {"x": np.zeros((8, 4), np.float32),
+             "y": np.zeros((8,), np.float32)}
+    out = shard_batch_multihost(batch, mesh)
+    assert len(calls) == 2
+    want = batch_sharding(mesh)
+    for sh, shape in calls:
+        assert sh == want
+    assert set(out) == {"x", "y"}
+
+
+def test_data_parallel_jit_donates_state():
+    """The old train-state buffers are donated: reusing them after the step
+    raises the deleted-buffer error."""
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+    from ws3d_tpu.parallel import make_mesh
+    from ws3d_tpu.parallel.mesh import data_parallel_jit, shard_batch
+
+    mesh = make_mesh(8)
+    step = data_parallel_jit(lambda s, b: (s + b.sum(), s.sum()), mesh)
+    s0 = jnp.ones((4, 4))
+    batch = shard_batch({"x": np.ones((8, 2), np.float32)}, mesh)["x"]
+    s0_dev = jax.device_put(s0)
+    s1, _ = step(s0_dev, batch)
+    assert float(s1[0, 0]) == 17.0
+    with _pytest.raises(Exception):
+        np.asarray(s0_dev) + 1          # donated -> deleted buffer

@@ -70,13 +70,18 @@ def shard_batch_multihost(batch: Dict[str, Any], mesh: Mesh,
     return jax.tree.map(put, batch)
 
 
-def data_parallel_jit(fn, mesh: Mesh, axis: str = "data"):
+def data_parallel_jit(fn, mesh: Mesh, axis: str = "data",
+                      donate_state: bool = True):
     """jit `fn(state, batch, *extras)` for data parallelism: the state is
     replicated, the batch arrives pre-sharded on its leading dim (see
     shard_batch), and XLA's sharding propagation inserts the gradient
-    all-reduce over ICI. Extras (rng keys, scalars) are replicated."""
+    all-reduce over ICI. Extras (rng keys, scalars) are replicated.
+
+    With donate_state (default) the incoming train-state buffers are
+    donated to the updated state — the caller must follow the standard
+    `state = step(state, ...)` pattern and not reuse the old state."""
     repl = replicated_sharding(mesh)
-    jfn = jax.jit(fn)
+    jfn = jax.jit(fn, donate_argnums=(0,) if donate_state else ())
 
     def wrapper(state, batch, *extras):
         state = jax.device_put(state, repl)   # no-op once resident
