@@ -245,3 +245,44 @@ class KittiRaw:
                           calib=self.get_calib(sample_id),
                           image_shape=self.get_image_shape(sample_id),
                           labels=labels, noise_labels=noise)
+
+
+def clicks_to_noise_labels(label_w_path: str, out_dir: str,
+                           mean_hwl=(1.53, 1.63, 3.88),
+                           ground_y: float = 1.65,
+                           sample_ids=None):
+    """Bridge from the annotator's ``label_w/label.txt`` 5-tuple lines
+    (``sample_id x z gt_x gt_z`` — Pointcloud_Annotation/annotation.py:
+    150-168) to the KITTI-format ``label_noise`` directory the datasets
+    train from (kitti_dataset.py:25,58-61). The reference has both ends but
+    not the bridge.
+
+    Only x/z are meaningful in weak labels; y, dims and ry are filled with
+    the ground level and the Car mean size. Writes one ``%06d.txt`` per
+    sample id (ids listed in `sample_ids` but absent from the click file
+    get an empty file). Returns {sample_id: click_count}.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    per_sample = {}
+    with open(label_w_path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 3:
+                continue
+            sid = int(parts[0])
+            x, z = float(parts[1]), float(parts[2])
+            per_sample.setdefault(sid, []).append((x, z))
+    for sid in set(per_sample) | set(sample_ids or []):
+        clicks = per_sample.get(sid, [])
+        with open(os.path.join(out_dir, "%06d.txt" % sid), "w") as f:
+            for x, z in clicks:
+                obj = Object3d(
+                    cls_type="Car", trucation=0.0, occlusion=0.0,
+                    alpha=-10.0,
+                    box2d=np.array([0, 0, 50, 50], np.float32),
+                    h=float(mean_hwl[0]), w=float(mean_hwl[1]),
+                    l=float(mean_hwl[2]),
+                    pos=np.array([x, ground_y, z], np.float32), ry=0.0)
+                f.write(obj.to_kitti_line() + "\n")
+    return {sid: len(per_sample.get(sid, [])) for sid
+            in set(per_sample) | set(sample_ids or [])}

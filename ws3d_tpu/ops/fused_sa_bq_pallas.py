@@ -77,40 +77,52 @@ def _kernel(S, radius, n_layers, n_total,
               + 1).astype(jnp.float32)                       # (MT, S)
     target = jnp.where(s_iota <= count, s_iota, 1.0)         # (MT, S)
 
-    # selector-matmul gather, tile by tile (running global rank)
+    # selector-matmul gather, tile by tile (running global rank). All
+    # matmuls run as (MT*S, .) 2-D shapes — full 128-row MXU occupancy —
+    # with bf16 multiplicands and f32 accumulation (the same numerics XLA's
+    # default-precision einsum uses on TPU).
     g = None
     for t in range(T):
         rank_t = prefix[:, t, :] + tile_base[:, t][:, None]  # (MT, 128)
         sel_t = ((rank_t[:, None, :] == target[:, :, None])
                  & in_ball[:, t, :][:, None, :])             # (MT, S, 128)
         part = jax.lax.dot_general(
-            sel_t.astype(jnp.bfloat16),
+            sel_t.astype(jnp.bfloat16).reshape(MT * S, LANE),
             comb[t * LANE:(t + 1) * LANE, :].astype(jnp.bfloat16),
-            (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (MT, S, Cin)
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (MT*S, Cin)
         g = part if g is None else g + part
 
     # empty centers gather point 0 (CUDA zero-on-empty -> index 0)
     empty = (count == 0.0)[:, :, None]                       # (MT, 1, 1)
-    g = jnp.where(empty, comb[0:1, :][None].astype(jnp.float32), g)
+    g3 = jnp.where(empty, comb[0:1, :][None].astype(jnp.float32),
+                   g.reshape(MT, S, -1))
 
-    h = g
+    h = g3.reshape(MT * S, g3.shape[-1])
     for li_ in range(n_layers):
         W = w_refs[li_][...]
         b = b_refs[li_][...]
+        c_out_l = W.shape[1]
         if li_ == 0:
-            # fold the center-subtract into the bias: b - q @ W[:3]
+            # fold the center-subtract into the bias: b - q @ W[:3].
+            # Kept f32/HIGHEST: q carries absolute coordinates, and this
+            # term cancels against g @ W's xyz contribution — bf16 here
+            # would leak coordinate-magnitude rounding into the features.
             b_eff = b - jax.lax.dot_general(
                 q, W[:3, :], (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)          # (MT, Cout)
             b_eff = b_eff[:, None, :]
         else:
             b_eff = b[None, :, :]
-        h = jax.lax.dot_general(h, W, (((2,), (0,)), ((), ())),
+        z = jax.lax.dot_general(h.astype(jnp.bfloat16),
+                                W.astype(jnp.bfloat16),
+                                (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        h = jnp.maximum(h + b_eff, 0.0)
+        z3 = jnp.maximum(z.reshape(MT, S, c_out_l) + b_eff, 0.0)
+        h = z3.reshape(MT * S, c_out_l)
 
-    out_ref[0, 0] = jnp.max(h, axis=1)                       # (MT, Cout)
+    out_ref[0, 0] = jnp.max(h.reshape(MT, S, -1), axis=1)    # (MT, Cout)
 
 
 def _xla_reference(xyz, features, new_xyz, radius, nsample, kernels, biases):
