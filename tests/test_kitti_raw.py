@@ -9,35 +9,7 @@ from ws3d_tpu.config import load_config
 from ws3d_tpu.datasets import KittiRaw, RPNDataset, SyntheticKitti
 
 
-def _write_kitti_tree(root, scenes):
-    base = os.path.join(root, "object", "training")
-    for sub in ("velodyne", "calib", "label_2", "label_noise"):
-        os.makedirs(os.path.join(base, sub), exist_ok=True)
-    os.makedirs(os.path.join(root, "ImageSets"), exist_ok=True)
-    ids = []
-    for scene in scenes:
-        sid = scene.sample_id
-        ids.append("%06d" % sid)
-        scene.pts_lidar.astype(np.float32).tofile(
-            os.path.join(base, "velodyne", "%06d.bin" % sid))
-        P2 = scene.calib.P2.reshape(-1)
-        R0 = scene.calib.R0.reshape(-1)
-        V2C = scene.calib.V2C.reshape(-1)
-        with open(os.path.join(base, "calib", "%06d.txt" % sid), "w") as f:
-            f.write("P0: " + " ".join(["0"] * 12) + "\n")
-            f.write("P1: " + " ".join(["0"] * 12) + "\n")
-            f.write("P2: " + " ".join("%.6f" % v for v in P2) + "\n")
-            f.write("P3: " + " ".join(["0"] * 12) + "\n")
-            f.write("R0_rect: " + " ".join("%.6f" % v for v in R0) + "\n")
-            f.write("Tr_velo_to_cam: "
-                    + " ".join("%.6f" % v for v in V2C) + "\n")
-        for sub, objs in (("label_2", scene.labels),
-                          ("label_noise", scene.noise_labels)):
-            with open(os.path.join(base, sub, "%06d.txt" % sid), "w") as f:
-                for o in objs:
-                    f.write(o.to_kitti_line() + "\n")
-    with open(os.path.join(root, "ImageSets", "train.txt"), "w") as f:
-        f.write("\n".join(ids) + "\n")
+from ws3d_tpu.datasets.kitti_io import write_kitti_tree as _write_kitti_tree
 
 
 def test_kitti_raw_roundtrip(tmp_path):

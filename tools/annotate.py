@@ -90,21 +90,31 @@ def run_headless(args, cfg, log):
     for sid in src.sample_ids[: args.scenes]:
         scene = src.get_scene(sid)
         pts_rect = scene.pts_rect
-        pts_image, _ = scene.calib.rect_to_img(pts_rect)
+        pts_image, depth = scene.calib.rect_to_img(pts_rect)
+        # seed candidates: in front of the camera and inside the frame
+        # (points behind the camera project to garbage uv)
+        ok = ((depth > 0) & (pts_image[:, 0] >= 0)
+              & (pts_image[:, 0] < scene.image_shape[1])
+              & (pts_image[:, 1] >= 0)
+              & (pts_image[:, 1] < scene.image_shape[0]))
+        cand_img, cand_rect = pts_image[ok], pts_rect[ok]
         gts = objs_to_boxes3d([o for o in scene.labels
                                if o.cls_type in ("Car", "Van")])
+        seeded = 0
         for g in gts:
             # simulate the image click on the object's projection, then the
             # BEV click near the seeded region center
-            uv, _ = scene.calib.rect_to_img(g[None, 0:3])
-            j = nearest_projected_point(pts_image, uv[0, 0], uv[0, 1])
-            seed = pts_rect[j]
-            assert np.hypot(seed[0] - g[0], seed[2] - g[2]) < 8.0, (
-                "image-click seeding landed far from the object")
+            if cand_img.shape[0]:
+                uv, _ = scene.calib.rect_to_img(g[None, 0:3])
+                j = nearest_projected_point(cand_img, uv[0, 0], uv[0, 1])
+                seed = cand_rect[j]
+                if np.hypot(seed[0] - g[0], seed[2] - g[2]) < 8.0:
+                    seeded += 1
             session.click(sid, g[0] + rng.randn() * 0.3,
                           g[2] + rng.randn() * 0.3, gts)
         n = session.flush()
-        log.info("scene %06d: %d clicks accepted", sid, n)
+        log.info("scene %06d: %d clicks accepted (%d/%d image-seeded)",
+                 sid, n, seeded, len(gts))
     log.info("labels -> %s", session.path)
     if args.to_noise:
         from ws3d_tpu.datasets.kitti_io import clicks_to_noise_labels

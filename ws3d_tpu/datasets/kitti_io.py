@@ -286,3 +286,48 @@ def clicks_to_noise_labels(label_w_path: str, out_dir: str,
                 f.write(obj.to_kitti_line() + "\n")
     return {sid: len(per_sample.get(sid, [])) for sid
             in set(per_sample) | set(sample_ids or [])}
+
+
+def write_kitti_tree(root: str, scenes, split: str = "train",
+                     write_noise: bool = True,
+                     extra_splits=()) -> None:
+    """Write scenes to disk in the on-disk KITTI object layout the reference
+    consumes (kitti_dataset.py:10-82): object/training/{velodyne (N,4)
+    float32 bins, calib txt, label_2, label_noise} + ImageSets/<split>.txt.
+    Used by the fixture drill and by docs examples; real KITTI data is not
+    shipped in this environment."""
+    base = os.path.join(root, "object", "training")
+    subs = ["velodyne", "calib", "label_2"] + (
+        ["label_noise"] if write_noise else [])
+    for sub in subs:
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+    os.makedirs(os.path.join(root, "ImageSets"), exist_ok=True)
+    ids = []
+    for scene in scenes:
+        sid = scene.sample_id
+        ids.append("%06d" % sid)
+        scene.pts_lidar.astype(np.float32).tofile(
+            os.path.join(base, "velodyne", "%06d.bin" % sid))
+        P2 = scene.calib.P2.reshape(-1)
+        R0 = scene.calib.R0.reshape(-1)
+        V2C = scene.calib.V2C.reshape(-1)
+        with open(os.path.join(base, "calib", "%06d.txt" % sid), "w") as f:
+            f.write("P0: " + " ".join(["0"] * 12) + "\n")
+            f.write("P1: " + " ".join(["0"] * 12) + "\n")
+            f.write("P2: " + " ".join("%.6f" % v for v in P2) + "\n")
+            f.write("P3: " + " ".join(["0"] * 12) + "\n")
+            f.write("R0_rect: " + " ".join("%.6f" % v for v in R0) + "\n")
+            f.write("Tr_velo_to_cam: "
+                    + " ".join("%.6f" % v for v in V2C) + "\n")
+        pairs = [("label_2", scene.labels)]
+        if write_noise:
+            pairs.append(("label_noise", scene.noise_labels))
+        for sub, objs in pairs:
+            with open(os.path.join(base, sub, "%06d.txt" % sid), "w") as f:
+                for o in objs:
+                    f.write(o.to_kitti_line() + "\n")
+    with open(os.path.join(root, "ImageSets", split + ".txt"), "w") as f:
+        f.write("\n".join(ids) + "\n")
+    for name, sel in extra_splits:
+        with open(os.path.join(root, "ImageSets", name + ".txt"), "w") as f:
+            f.write("\n".join("%06d" % s for s in sel) + "\n")

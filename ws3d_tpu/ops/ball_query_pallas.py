@@ -30,7 +30,7 @@ import jax.numpy as jnp
 LANE = 128
 
 
-def _kernel(radii, nsamples, n_total,
+def _kernel(radii, nsamples, n_total, wrap_pad,
             qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref, *out_refs):
     MT = qx_ref.shape[2]
     _, _, T, _ = px_ref.shape
@@ -72,12 +72,16 @@ def _kernel(radii, nsamples, n_total,
             preferred_element_type=jnp.float32)            # (MT, T)
         tile_base = tile_end - tile_sum
 
-        targets = (jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
-                   + 1).astype(jnp.float32)                 # (1, k)
-        targets_k1 = (jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
-                      + 1).astype(jnp.float32)              # (k, 1)
+        targets = (jax.lax.broadcasted_iota(jnp.int32, (MT, k), 1)
+                   + 1).astype(jnp.float32)                 # (MT, k)
+        if wrap_pad:
+            # roipool-style wraparound padding: slot s selects the
+            # ((s-1) mod count)+1-th in-radius point (k % cnt duplication,
+            # roipool3d_kernel.cu:123-160) instead of repeating the first
+            cnt = jnp.maximum(tile_end[:, T - 1:T], 1.0)    # (MT, 1)
+            targets = targets - cnt * jnp.floor((targets - 1.0) / cnt)
         # tile holding slot s: #{tiles with tile_end < target} -> (MT, k, T)
-        lt = tile_end[:, None, :] < targets_k1[None, :, :]
+        lt = tile_end[:, None, :] < targets[:, :, None]
         tile_j = jnp.sum(lt.astype(jnp.float32), axis=-1)   # (MT, k) float
         overflow = tile_j >= T
         tile_jc = jnp.minimum(tile_j, T - 1)
