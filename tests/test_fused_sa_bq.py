@@ -67,3 +67,29 @@ def test_fused_sa_bq_gradients(rng):
     for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-2, rtol=5e-2)
+
+
+def test_bn_folded_fused_matches_unfused_eval(rng, monkeypatch):
+    """A BN-ful MSG stage run through the fused kernel with folded BN
+    (inference) matches the unfused eval path."""
+    from ws3d_tpu.models import pointnet2 as p2
+
+    mod = p2.PointnetSAModuleMSG(npoint=16, radii=[0.8], nsamples=[8],
+                                 mlps=[[16, 16]], use_bn=True)
+    xyz = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(2, 128, 30).astype(np.float32))
+    variables = mod.init(jax.random.PRNGKey(0), xyz, feats, train=False)
+    # non-trivial running stats
+    bs = jax.tree.map(lambda x: x, variables.get("batch_stats", {}))
+    variables = dict(variables)
+    variables["batch_stats"] = jax.tree.map(
+        lambda x: x + 0.3 * np.abs(rng.randn(*x.shape)).astype(np.float32),
+        bs)
+
+    _, want = mod.apply(variables, xyz, feats, train=False)
+    monkeypatch.setattr(p2, "FORCE_FUSED_INTERPRET", True)
+    _, got = mod.apply(variables, xyz, feats, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-2, rtol=3e-2)
+    # sanity: the two paths were actually different code paths
+    assert mod._use_fused(xyz, feats, train=False)

@@ -20,6 +20,30 @@ from ws3d_tpu.ops.grouping import (group_all, ball_query_multi,
 from ws3d_tpu.ops.interpolate import interpolate_features
 from ws3d_tpu.ops.sampling import furthest_point_sample, gather_points
 
+# test hook: force the fused SA path (run in interpret mode off-TPU)
+FORCE_FUSED_INTERPRET = False
+
+
+def folded_mlp_params(mlp, n_layers: int, use_bn: bool):
+    """Extract the bound SharedMLP's Dense kernels/biases; with use_bn the
+    (inference-time) BatchNorm affine is FOLDED into them:
+    y = bn(x @ W) = x @ (W * s) + (beta - mean * s), s = scale/sqrt(var+eps)
+    — so BN-ful stages can run through the fused SA kernel at eval."""
+    p = mlp.variables["params"]
+    kernels, biases = [], []
+    for k in range(n_layers):
+        W = p[f"Dense_{k}"]["kernel"]
+        if use_bn:
+            bnp = p[f"BatchNorm_{k}"]
+            bns = mlp.variables["batch_stats"][f"BatchNorm_{k}"]
+            inv = bnp["scale"] * jax.lax.rsqrt(bns["var"] + 1e-5)
+            kernels.append(W * inv[None, :])
+            biases.append(bnp["bias"] - bns["mean"] * inv)
+        else:
+            kernels.append(W)
+            biases.append(p[f"Dense_{k}"]["bias"])
+    return kernels, biases
+
 
 class PointnetSAModuleMSG(nn.Module):
     """Multi-scale-grouping set abstraction.
@@ -46,7 +70,7 @@ class PointnetSAModuleMSG(nn.Module):
         else:
             new_xyz = None
 
-        use_fused = self._use_fused(xyz, features)
+        use_fused = self._use_fused(xyz, features, train)
         if self.npoint is not None and not use_fused:
             # one shared distance matrix across the radius scales
             idx_per_scale = ball_query_multi(
@@ -58,20 +82,19 @@ class PointnetSAModuleMSG(nn.Module):
             mlp = SharedMLP(self.mlps[i], use_bn=self.use_bn,
                             dtype=self.dtype, name=f"mlp_{i}")
             if use_fused:
-                # fully fused ball-query+gather+MLP+maxpool kernel (BN-free
-                # stages): identical param tree — the dummy call materializes
-                # the Dense params, whose values feed the Pallas kernel
+                # fully fused ball-query+gather+MLP+maxpool kernel: identical
+                # param tree — the dummy call materializes the params, whose
+                # values (with inference-time BN folded in) feed the Pallas
+                # kernel
                 cin = features.shape[-1] + 3
                 _ = mlp(jnp.zeros((1, 1, 1, cin), xyz.dtype), train=train)
-                p = mlp.variables["params"]
-                kernels = [p[f"Dense_{k}"]["kernel"]
-                           for k in range(len(self.mlps[i]))]
-                biases = [p[f"Dense_{k}"]["bias"]
-                          for k in range(len(self.mlps[i]))]
+                kernels, biases = folded_mlp_params(
+                    mlp, len(self.mlps[i]), self.use_bn)
                 from ws3d_tpu.ops.fused_sa_bq_pallas import fused_sa_ballquery
                 outs.append(fused_sa_ballquery(
                     xyz, features, new_xyz, float(self.radii[i]),
-                    int(self.nsamples[i]), kernels, biases))
+                    int(self.nsamples[i]), kernels, biases,
+                    interpret=FORCE_FUSED_INTERPRET))
                 continue
             if self.npoint is not None:
                 grouped = group_with_idx(idx_per_scale[i], xyz, new_xyz,
@@ -83,11 +106,21 @@ class PointnetSAModuleMSG(nn.Module):
             outs.append(jnp.max(h, axis=2))
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
-    def _use_fused(self, xyz, features) -> bool:
-        if (self.npoint is None or self.use_bn or not self.use_xyz
+    def _use_fused(self, xyz, features, train) -> bool:
+        if (self.npoint is None or not self.use_xyz
                 or features is None or self.dtype is not None
                 or self.npoint % 8 != 0 or xyz.shape[1] % 128 != 0):
             return False
+        # BN stages fold running stats into the kernel — inference only
+        if self.use_bn and train:
+            return False
+        # the selector matmul wastes MXU lanes when the channel width is
+        # tiny AND the point count is large (backbone SA-1: Cin=4,
+        # P=16384) — keep the XLA gather there
+        if features.shape[-1] + 3 < 32 and xyz.shape[1] > 1024:
+            return False
+        if FORCE_FUSED_INTERPRET:
+            return True
         try:
             return jax.default_backend() in ("tpu", "axon")
         except Exception:                                    # pragma: no cover

@@ -107,14 +107,24 @@ def _kernel(radii, nsamples, n_total, wrap_pad,
         idx = jnp.where(valid, idx, first)
         idx = jnp.where(first < n_total, idx, 0)
         out_refs[scale][0, 0, :, :] = idx.astype(jnp.int32)
+        if wrap_pad:
+            # wrap mode also reports the true in-radius counts
+            out_refs[len(radii) + scale][0, 0, :, :] = (
+                tile_end[:, T - 1:T].astype(jnp.int32))
 
 
 def ball_query_pallas(radii: Sequence[float], nsamples: Sequence[int],
                       xyz: jnp.ndarray, new_xyz: jnp.ndarray,
-                      interpret: bool = False) -> Tuple[jnp.ndarray, ...]:
+                      interpret: bool = False,
+                      wrap_pad: bool = False):
     """Multi-scale ball query. xyz (B, N, 3), new_xyz (B, M, 3) ->
     tuple of (B, M, nsamples[i]) int32. Requires N % 128 == 0 and
-    M % 8 == 0."""
+    M % 8 == 0.
+
+    wrap_pad selects roipool-style `s % cnt` wraparound duplication
+    (roipool3d_kernel.cu:123-160) instead of the ball-query pad-with-first,
+    and the return becomes (idx_tuple, counts_tuple) with counts
+    (B, M) int32 — the crop path (eval_auto.py:286-292) uses this."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -154,10 +164,17 @@ def ball_query_pallas(radii: Sequence[float], nsamples: Sequence[int],
     out_shapes = tuple(
         jax.ShapeDtypeStruct((B, M // MT, MT, int(k)), jnp.int32)
         for k in nsamples)
+    if wrap_pad:
+        cnt_spec = pl.BlockSpec((1, 1, MT, 1), lambda b, m: (b, m, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_specs = out_specs + tuple(cnt_spec for _ in nsamples)
+        out_shapes = out_shapes + tuple(
+            jax.ShapeDtypeStruct((B, M // MT, MT, 1), jnp.int32)
+            for _ in nsamples)
 
     outs = pl.pallas_call(
         functools.partial(_kernel, tuple(float(r) for r in radii),
-                          tuple(int(k) for k in nsamples), N),
+                          tuple(int(k) for k in nsamples), N, wrap_pad),
         grid=(B, M // MT),
         in_specs=[qspec, qspec, qspec, pspec, pspec, pspec],
         out_specs=out_specs,
@@ -166,4 +183,9 @@ def ball_query_pallas(radii: Sequence[float], nsamples: Sequence[int],
     )(qx, qy, qz, px, py, pz)
     if not isinstance(outs, (tuple, list)):
         outs = (outs,)
-    return tuple(o.reshape(B, M, -1) for o in outs)
+    n_scale = len(nsamples)
+    idx_out = tuple(o.reshape(B, M, -1) for o in outs[:n_scale])
+    if wrap_pad:
+        counts = tuple(o.reshape(B, M) for o in outs[n_scale:])
+        return idx_out, counts
+    return idx_out

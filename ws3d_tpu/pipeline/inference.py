@@ -78,6 +78,38 @@ def rpn_propose(rpn_cls: jnp.ndarray, rpn_reg: jnp.ndarray,
             jnp.where(valid, sel_scores, 0.0), valid)
 
 
+def _bev_first_k_wrap(xyz: jnp.ndarray, centers_xz: jnp.ndarray,
+                      radius: float, num_sampled: int):
+    """First-`num_sampled` points within `radius` (BEV) of each center, in
+    point order, `s % cnt` wraparound padding -> idx (K, S), empty (K,).
+
+    On TPU with aligned shapes this runs as ONE Pallas rank-search kernel
+    (wrap_pad mode of ball_query_pallas) — the XLA formulation materializes
+    a (K, S, N/128) tile gather that dominated crop time."""
+    N, K = xyz.shape[0], centers_xz.shape[0]
+    use_pallas = False
+    if N % LANE_ALIGN == 0 and K % 8 == 0:
+        try:
+            use_pallas = jax.default_backend() in ("tpu", "axon")
+        except Exception:                                   # pragma: no cover
+            use_pallas = False
+    if use_pallas:
+        from ws3d_tpu.ops.ball_query_pallas import ball_query_pallas
+        zeros = jnp.zeros_like(xyz[:, 0])
+        xz = jnp.stack([xyz[:, 0], zeros, xyz[:, 2]], axis=-1)
+        qz = jnp.zeros_like(centers_xz[:, 0])
+        q = jnp.stack([centers_xz[:, 0], qz, centers_xz[:, 1]], axis=-1)
+        (idx,), (cnt,) = ball_query_pallas(
+            [radius], [num_sampled], xz[None], q[None], wrap_pad=True)
+        return idx[0], cnt[0] == 0
+    d2 = (jnp.square(xyz[None, :, 0] - centers_xz[:, None, 0])
+          + jnp.square(xyz[None, :, 2] - centers_xz[:, None, 1]))
+    return _first_k_wraparound(d2 < radius * radius, num_sampled)
+
+
+LANE_ALIGN = 128
+
+
 def crop_for_rcnn(pts_input: jnp.ndarray, scores_norm: jnp.ndarray,
                   centers_xz: jnp.ndarray, num_sampled: int = 512):
     """Scene points (N, 3+) + proposal centers (K, 2) -> stage-2 crops.
@@ -92,10 +124,8 @@ def crop_for_rcnn(pts_input: jnp.ndarray, scores_norm: jnp.ndarray,
     xyz = pts_input[:, 0:3].at[:, 1].add(-GROUND_Y)
     reflect = (pts_input[:, 3] if pts_input.shape[1] > 3
                else jnp.zeros(pts_input.shape[0], pts_input.dtype))
-    d2 = (jnp.square(xyz[None, :, 0] - centers_xz[:, None, 0])
-          + jnp.square(xyz[None, :, 2] - centers_xz[:, None, 1]))
-    idx, empty = _first_k_wraparound(d2 < CROP_RADIUS * CROP_RADIUS,
-                                     num_sampled)
+    idx, empty = _bev_first_k_wrap(xyz, centers_xz, CROP_RADIUS,
+                                   num_sampled)
     crop_xyz = xyz[idx]                                      # (K, S, 3)
     offs = jnp.stack([centers_xz[:, 0], jnp.zeros_like(centers_xz[:, 0]),
                       centers_xz[:, 1]], axis=-1)
