@@ -4,19 +4,54 @@ device (real TPU chip under the driver).
 Prints ONE JSON line: {"metric": "two_stage_scenes_per_sec", "value": N,
 "unit": "scenes/sec", "vs_baseline": N / 200.0} — 200 scenes/sec/chip is the
 BASELINE.md target (the reference publishes no throughput; its eval loop is
-serial B=1 per proposal).
+serial B=1 per proposal, tools/eval_auto.py:328-410).
+
+Honesty rules (CLAUDE.md): on the tunneled axon backend block_until_ready
+does NOT block, so every timing below is closed by a host transfer. The
+measured loop is the REAL deployment loop: distinct input batches each
+iteration, dispatched back-to-back (device executes in order; sustained
+throughput), with the host-side KITTI txt dump of each completed batch
+overlapped with device compute of the following ones — the wall clock spans
+first dispatch to last file written. With fitted weights present
+(ws3d_tpu/data/bench_weights.npz, produced by tools/fit_bench_weights.py)
+the detector emits real detections so finalize/NMS/dump run at realistic
+occupancy; without them it falls back to random init (reported in the JSON).
 """
 from __future__ import annotations
 
 import json
+import os
+import tempfile
 import time
 
 import numpy as np
 
 BATCH = 8          # scenes per device batch
-WARMUP = 1
-ITERS = 6
+NBUF = 3           # distinct input batches cycled through the run
+WARMUP = 2
+ITERS = 12
 BASELINE_SCENES_PER_SEC = 200.0
+WEIGHTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "ws3d_tpu", "data", "bench_weights.npz")
+
+
+def _load_fitted(variables):
+    """Overlay flat 'params/...'-keyed npz leaves onto the init tree."""
+    import jax
+    flat = np.load(WEIGHTS)
+    leaves = {}
+    for key in flat.files:
+        leaves[tuple(key.split("/"))] = flat[key]
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        new = leaves.get(path)
+        if new is None or new.shape != tree.shape:
+            return tree
+        return new.astype(np.asarray(tree).dtype)
+
+    return jax.tree_util.tree_map(lambda x: x, walk(variables, ()))
 
 
 def main():
@@ -24,6 +59,7 @@ def main():
     import jax.numpy as jnp
     from ws3d_tpu.config import load_config
     from ws3d_tpu.datasets import SyntheticKitti
+    from ws3d_tpu.datasets.kitti_io import Calibration, save_kitti_format
     from ws3d_tpu.datasets.rpn_dataset import RPNDataset
     from ws3d_tpu.models import build_model, init_model
     from ws3d_tpu.pipeline import make_two_stage_fn
@@ -34,36 +70,51 @@ def main():
 
     model = build_model(cfg)
     variables = init_model(model, cfg, jax.random.PRNGKey(0))
+    fitted = os.path.exists(WEIGHTS)
+    if fitted:
+        variables = jax.device_put(_load_fitted(variables))
     fn = jax.jit(make_two_stage_fn(model, cfg))
 
-    src = SyntheticKitti(num_scenes=BATCH * 2, points_per_scene=20000, seed=3)
+    src = SyntheticKitti(num_scenes=BATCH * NBUF, points_per_scene=20000,
+                         seed=3)
     ds = RPNDataset(src, cfg, mode="EVAL", npoints=cfg.RPN.NUM_POINTS, seed=0)
-    batch = next(ds.batches(batch_size=BATCH, steps=1, shuffle=False))
-    pts = jnp.asarray(batch["pts_input"])
+    bufs = [jnp.asarray(b["pts_input"])
+            for b in ds.batches(batch_size=BATCH, steps=NBUF, shuffle=False)]
+    calib = Calibration.identity()
+    out_dir = tempfile.mkdtemp(prefix="ws3d_bench_")
 
-    # NOTE: on the tunneled axon backend block_until_ready does NOT actually
-    # block; force a (tiny) host transfer each iteration to get honest
-    # wall-clock numbers.
-    for _ in range(WARMUP):
-        out = fn(variables, pts)
+    for i in range(WARMUP):
+        out = fn(variables, bufs[i % NBUF])
         np.asarray(out["keep"])
 
+    # Sustained-throughput loop: dispatch every batch up front (the device
+    # runs them in order), then drain outputs oldest-first, writing each
+    # scene's KITTI txt while later batches are still computing.
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(variables, pts)
-        np.asarray(out["keep"])
+    pending = [(it, fn(variables, bufs[it % NBUF])) for it in range(ITERS)]
+    n_det = 0
+    for it, out in pending:
+        boxes = np.asarray(out["boxes"])
+        scores = np.asarray(out["scores"])
+        keep = np.asarray(out["keep"])
+        n_det = int(keep.sum())
+        for j in range(BATCH):
+            save_kitti_format(it * BATCH + j, calib, boxes[j][keep[j]],
+                              out_dir, scores[j][keep[j]], (375, 1242))
     dt = time.perf_counter() - t0
     scenes_per_sec = BATCH * ITERS / dt
 
-    n_det = int(np.asarray(out["keep"]).sum())
     result = {
         "metric": "two_stage_scenes_per_sec",
         "value": round(scenes_per_sec, 2),
         "unit": "scenes/sec",
         "vs_baseline": round(scenes_per_sec / BASELINE_SCENES_PER_SEC, 3),
         "detections_last_batch": n_det,
+        "weights": "fitted" if fitted else "random-init",
         "batch": BATCH,
+        "iters": ITERS,
         "points": int(cfg.RPN.NUM_POINTS),
+        "kitti_dump": "overlapped",
     }
     print(json.dumps(result))
 

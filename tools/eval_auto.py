@@ -11,7 +11,6 @@ Synthetic smoke run:
 """
 from __future__ import annotations
 
-import math
 import os
 
 import numpy as np
@@ -19,37 +18,7 @@ import numpy as np
 from common import base_parser, setup, make_scene_source
 
 
-def save_kitti_format(sample_id, calib, bbox3d, out_dir, scores, img_shape,
-                      classes="Car"):
-    """KITTI txt writer (tools/eval_auto.py:108-133): project corners,
-    clip to image, drop boxes covering >80% of the image."""
-    import jax.numpy as jnp
-    from ws3d_tpu.ops.boxes import boxes3d_to_corners3d
-    os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, "%06d.txt" % sample_id)
-    if bbox3d.shape[0] == 0:
-        open(path, "w").close()
-        return
-    corners = np.asarray(boxes3d_to_corners3d(jnp.asarray(bbox3d)))
-    img_boxes, _ = calib.corners3d_to_img_boxes(corners)
-    img_boxes[:, [0, 2]] = np.clip(img_boxes[:, [0, 2]], 0, img_shape[1] - 1)
-    img_boxes[:, [1, 3]] = np.clip(img_boxes[:, [1, 3]], 0, img_shape[0] - 1)
-    w = img_boxes[:, 2] - img_boxes[:, 0]
-    h = img_boxes[:, 3] - img_boxes[:, 1]
-    ok = (w < img_shape[1] * 0.8) & (h < img_shape[0] * 0.8)
-    with open(path, "w") as f:
-        for k in range(bbox3d.shape[0]):
-            if not ok[k]:
-                continue
-            x, z, ry = bbox3d[k, 0], bbox3d[k, 2], bbox3d[k, 6]
-            beta = math.atan2(z, x)
-            alpha = -np.sign(beta) * np.pi / 2 + beta + ry
-            print("%s -1 -1 %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f "
-                  "%.4f %.4f %.4f %.4f"
-                  % (classes, alpha, img_boxes[k, 0], img_boxes[k, 1],
-                     img_boxes[k, 2], img_boxes[k, 3], bbox3d[k, 3],
-                     bbox3d[k, 4], bbox3d[k, 5], bbox3d[k, 0], bbox3d[k, 1],
-                     bbox3d[k, 2], bbox3d[k, 6], scores[k]), file=f)
+from ws3d_tpu.datasets.kitti_io import save_kitti_format  # noqa: E402
 
 
 def main():

@@ -161,6 +161,56 @@ def objs_to_boxes3d(objs: List[Object3d]) -> np.ndarray:
     return np.stack([o.to_box3d() for o in objs])
 
 
+def boxes3d_to_corners3d_np(boxes3d: np.ndarray) -> np.ndarray:
+    """(N, 7) (x, y, z, h, w, l, ry) bottom-y -> (N, 8, 3) corners — NumPy
+    twin of ops.boxes.boxes3d_to_corners3d (kitti_utils.py:104-131) for
+    host-side writers that must not touch the accelerator."""
+    x, y, z = boxes3d[:, 0:1], boxes3d[:, 1:2], boxes3d[:, 2:3]
+    h, w, l, ry = (boxes3d[:, 3:4], boxes3d[:, 4:5], boxes3d[:, 5:6],
+                   boxes3d[:, 6])
+    xs = np.array([0.5, 0.5, -0.5, -0.5, 0.5, 0.5, -0.5, -0.5]) * l
+    zs = np.array([0.5, -0.5, -0.5, 0.5, 0.5, -0.5, -0.5, 0.5]) * w
+    ys = np.array([0.0, 0.0, 0.0, 0.0, -1.0, -1.0, -1.0, -1.0]) * h
+    c, s = np.cos(ry)[:, None], np.sin(ry)[:, None]
+    xr = xs * c + zs * s + x
+    zr = -xs * s + zs * c + z
+    return np.stack([xr, ys + y, zr], axis=-1).astype(np.float32)
+
+
+def save_kitti_format(sample_id, calib, bbox3d, out_dir, scores, img_shape,
+                      classes="Car"):
+    """KITTI txt writer (tools/eval_auto.py:108-133): project corners,
+    clip to image, drop boxes covering >80% of the image. Pure NumPy so
+    eval drivers and the benchmark can overlap it with device compute."""
+    import math
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "%06d.txt" % sample_id)
+    bbox3d = np.asarray(bbox3d)
+    if bbox3d.shape[0] == 0:
+        open(path, "w").close()
+        return
+    corners = boxes3d_to_corners3d_np(bbox3d)
+    img_boxes, _ = calib.corners3d_to_img_boxes(corners)
+    img_boxes[:, [0, 2]] = np.clip(img_boxes[:, [0, 2]], 0, img_shape[1] - 1)
+    img_boxes[:, [1, 3]] = np.clip(img_boxes[:, [1, 3]], 0, img_shape[0] - 1)
+    w = img_boxes[:, 2] - img_boxes[:, 0]
+    h = img_boxes[:, 3] - img_boxes[:, 1]
+    ok = (w < img_shape[1] * 0.8) & (h < img_shape[0] * 0.8)
+    with open(path, "w") as f:
+        for k in range(bbox3d.shape[0]):
+            if not ok[k]:
+                continue
+            x, z, ry = bbox3d[k, 0], bbox3d[k, 2], bbox3d[k, 6]
+            beta = math.atan2(z, x)
+            alpha = -np.sign(beta) * np.pi / 2 + beta + ry
+            print("%s -1 -1 %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f "
+                  "%.4f %.4f %.4f %.4f"
+                  % (classes, alpha, img_boxes[k, 0], img_boxes[k, 1],
+                     img_boxes[k, 2], img_boxes[k, 3], bbox3d[k, 3],
+                     bbox3d[k, 4], bbox3d[k, 5], bbox3d[k, 0], bbox3d[k, 1],
+                     bbox3d[k, 2], bbox3d[k, 6], scores[k]), file=f)
+
+
 @dataclass
 class KittiScene:
     """Everything loaded for one frame."""
