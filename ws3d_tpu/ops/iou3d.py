@@ -12,6 +12,7 @@ MARGIN=1e-5 match the reference.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 EPS = 1e-8
@@ -167,10 +168,11 @@ def _overlap_pairs(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
 
     ang = jnp.arctan2(py - cy[:, None], px - cx[:, None])
     ang = jnp.where(valid, ang, 1e9)                       # invalid last
-    order = jnp.argsort(ang, axis=-1)
-    spx = jnp.take_along_axis(px, order, axis=-1)
-    spy = jnp.take_along_axis(py, order, axis=-1)
-    sorted_valid = jnp.take_along_axis(valid, order, axis=-1)
+    # one multi-operand lane-axis sort co-sorts the coordinates with the
+    # angle key — argsort + take_along_axis lowered to per-element dynamic
+    # lane gathers that cost ~25 ms per 8x(64x64) NMS block on their own
+    _, spx, spy, sorted_valid = jax.lax.sort(
+        (ang, px, py, valid), dimension=-1, num_keys=1)
 
     poly_x = jnp.where(sorted_valid, spx, spx[:, 0:1])
     poly_y = jnp.where(sorted_valid, spy, spy[:, 0:1])
