@@ -154,3 +154,35 @@ def test_ops_jittable(rng):
 
     idx, nx, g = f(xyz)
     assert idx.shape == (1, 8) and nx.shape == (1, 8, 3) and g.shape == (1, 8, 4)
+
+
+def test_fused_interpolate_pallas_parity(rng):
+    """Fused 3-NN+interpolate Pallas kernel (interpret mode) vs the XLA
+    composition: bf16 multiplicands with f32 accumulation -> loose rtol."""
+    from ws3d_tpu.ops.three_nn_pallas import three_interpolate_pallas
+    from ws3d_tpu.ops.interpolate import _interpolate_xla
+
+    unknown = jnp.asarray(rng.randn(2, 24, 3).astype(np.float32))
+    known = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32) * 2)
+    feats = jnp.asarray(rng.randn(2, 128, 16).astype(np.float32))
+    got = np.asarray(three_interpolate_pallas(unknown, known, feats,
+                                              interpret=True))
+    want = np.asarray(_interpolate_xla(unknown, known, feats))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_fused_interpolate_grad_path(rng):
+    """jax.grad through interpolate_features uses the XLA-composition VJP."""
+    from ws3d_tpu.ops.interpolate import (_interpolate_fused,
+                                          _interpolate_xla)
+
+    unknown = jnp.asarray(rng.randn(1, 8, 3).astype(np.float32))
+    known = jnp.asarray(rng.randn(1, 128, 3).astype(np.float32) * 2)
+    feats = jnp.asarray(rng.randn(1, 128, 4).astype(np.float32))
+
+    g_fused = jax.grad(
+        lambda f: jnp.sum(_interpolate_fused(unknown, known, f, True)))(feats)
+    g_xla = jax.grad(
+        lambda f: jnp.sum(_interpolate_xla(unknown, known, f)))(feats)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_xla),
+                               rtol=1e-4, atol=1e-5)

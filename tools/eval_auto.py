@@ -73,14 +73,29 @@ def main():
     gt_frames, det_count = [], 0
     n = min(len(ds), args.scenes)
     bsz = max(args.batch, 1)
-    for lo in range(0, n, bsz):
+
+    def dispatch(lo):
+        """Stage the next batch on device WITHOUT syncing (dispatch is async
+        on TPU): host-side loading/dump of batch i overlaps device compute
+        of batch i+1 — the reference's loop is fully serial
+        (eval_auto.py:328-410)."""
         idxs = list(range(lo, min(lo + bsz, n)))
         samples = [ds.get_sample(i) for i in idxs]
         stack = np.stack([s["pts_input"] for s in samples])
         if stack.shape[0] < bsz:     # pad the tail batch to the jit shape
             stack = np.concatenate(
                 [stack, np.repeat(stack[-1:], bsz - stack.shape[0], 0)])
-        out = jax.tree.map(np.asarray, fn(variables, jnp.asarray(stack)))
+        return idxs, samples, fn(variables, jnp.asarray(stack))
+
+    pending = None
+    for lo in list(range(0, n, bsz)) + [None]:
+        nxt = dispatch(lo) if lo is not None else None
+        if pending is None:
+            pending = nxt
+            continue
+        idxs, samples, out_fut = pending
+        pending = nxt
+        out = jax.tree.map(np.asarray, out_fut)
         for j, i in enumerate(idxs):
             scene = src.get_scene(ds.sample_ids[i])
             keep = out["keep"][j]

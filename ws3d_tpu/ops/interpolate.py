@@ -68,11 +68,44 @@ def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
     return jnp.sum(gathered * weight[..., None], axis=2)
 
 
-def interpolate_features(unknown: jnp.ndarray, known: jnp.ndarray,
-                         known_feats: jnp.ndarray, chunk: int = 2048) -> jnp.ndarray:
-    """Full FP interpolation step (pointnet2_modules.py:138-144):
-    inverse-squared-distance weighted 3-NN interpolation."""
+def _interpolate_xla(unknown, known, known_feats, chunk=2048):
     d2, idx = three_nn(unknown, known, chunk=chunk)
     recip = 1.0 / (d2 + 1e-8)
     weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
     return three_interpolate(known_feats, idx, weight)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _interpolate_fused(unknown, known, known_feats, interpret):
+    from ws3d_tpu.ops.three_nn_pallas import three_interpolate_pallas
+    return three_interpolate_pallas(unknown, known, known_feats,
+                                    interpret=interpret)
+
+
+def _interpolate_fused_fwd(unknown, known, known_feats, interpret):
+    out = _interpolate_fused(unknown, known, known_feats, interpret)
+    return out, (unknown, known, known_feats)
+
+
+def _interpolate_fused_bwd(interpret, res, gout):
+    unknown, known, known_feats = res
+    _, vjp = jax.vjp(_interpolate_xla, unknown, known, known_feats)
+    return vjp(gout)
+
+
+_interpolate_fused.defvjp(_interpolate_fused_fwd, _interpolate_fused_bwd)
+
+
+def interpolate_features(unknown: jnp.ndarray, known: jnp.ndarray,
+                         known_feats: jnp.ndarray, chunk: int = 2048) -> jnp.ndarray:
+    """Full FP interpolation step (pointnet2_modules.py:138-144):
+    inverse-squared-distance weighted 3-NN interpolation.
+
+    On TPU with aligned shapes this runs as ONE fused Pallas kernel (3-NN
+    search + dense-weight MXU interpolation) — the separate three_nn +
+    XLA row-gather path moves ~150 MB of gathered features per FP-1 call.
+    Backward falls back to the XLA composition (jax.custom_vjp)."""
+    from ws3d_tpu.ops.grouping import _use_pallas
+    if _use_pallas(known.shape[1], unknown.shape[1]):
+        return _interpolate_fused(unknown, known, known_feats, False)
+    return _interpolate_xla(unknown, known, known_feats, chunk=chunk)

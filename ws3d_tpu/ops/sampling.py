@@ -108,7 +108,9 @@ def _fps_pallas(xyz: jnp.ndarray, npoint: int,
         # as many batch rows per program as ~2 MB of VMEM per buffer allows:
         # sequential iteration count is npoint * ceil(B/R), so bigger R
         # directly cuts the sweep count for many-small-cloud workloads
-        rows_per_program = max(min(2 * 1024 * 1024 // (N * 4), 128), 8)
+        # (stage-2 runs 512 crop-rows: R=512 -> ONE 256-iteration sweep
+        # instead of four)
+        rows_per_program = max(min(2 * 1024 * 1024 // (N * 4), 512), 8)
     R = min(rows_per_program, max(8, B))
     pad = (-B) % R
     if pad:

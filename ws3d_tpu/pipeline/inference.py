@@ -272,7 +272,13 @@ def make_two_stage_fn(model, cfg, num_points: int = 512,
         boxes, scores, keep = jax.vmap(finalize)(
             boxes.reshape(B, K, 7), rcnn_out["rcnn_cls"].reshape(B, K),
             rcnn_iou.reshape(B, K), centers, valid & ~empty)
+        # one contiguous (B, K, 9) detection record so consumers pay a
+        # single host transfer (each np.asarray leaf costs one tunnel RTT)
+        packed = jnp.concatenate(
+            [boxes, scores[..., None], keep[..., None].astype(boxes.dtype)],
+            axis=-1)
         return {"boxes": boxes, "scores": scores, "keep": keep,
-                "centers": centers, "proposal_valid": valid}
+                "packed": packed, "centers": centers,
+                "proposal_valid": valid}
 
     return fn
