@@ -31,10 +31,18 @@ LANE = 128
 
 def _kernel(S, radius, n_layers, n_total,
             qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref, comb_ref,
-            *wb_and_out):
-    w_refs = wb_and_out[:n_layers]
-    b_refs = wb_and_out[n_layers:2 * n_layers]
-    out_ref = wb_and_out[2 * n_layers]
+            w0xyz_ref, *wb_and_out):
+    """comb_ref holds the LAYER-0 PRE-ACTIVATIONS comb0 = [xyz, feats] @ W0,
+    precomputed per point with one efficient XLA matmul: because layer 0 is
+    linear, sel @ ([xyz-q, feats] @ W0) == (sel @ comb0) + (the -q @ W0[:3]
+    center-subtract term folded into the bias). Gathering pre-activations
+    makes the selector matmul's output width exactly C0 (no 131 -> 256 lane
+    padding, which doubled MXU time) and removes the per-slot layer-0
+    matmul. w0xyz_ref = W0[:3] for the bias fold; wb_and_out holds layers
+    1..n_layers-1 kernels then ALL n_layers biases then the output ref."""
+    w_refs = wb_and_out[:n_layers - 1]
+    b_refs = wb_and_out[n_layers - 1:2 * n_layers - 1]
+    out_ref = wb_and_out[2 * n_layers - 1]
 
     MT = qx_ref.shape[2]
     T = px_ref.shape[2]
@@ -42,7 +50,7 @@ def _kernel(S, radius, n_layers, n_total,
     q = jnp.concatenate([qx_ref[0, 0], qy_ref[0, 0], qz_ref[0, 0]],
                         axis=1)                              # (MT, 3)
     px, py, pz = px_ref[0, 0], py_ref[0, 0], pz_ref[0, 0]    # (T, 128)
-    comb = comb_ref[0]                                       # (N, Cin)
+    comb = comb_ref[0]                                       # (N, C0)
 
     # squared distances (MT, T, 128) — exact f32 three-pass form
     dx = qx_ref[0, 0][:, :, None] - px[None, :, :]
@@ -98,28 +106,25 @@ def _kernel(S, radius, n_layers, n_total,
     g3 = jnp.where(empty, comb[0:1, :][None].astype(jnp.float32),
                    g.reshape(MT, S, -1))
 
-    h = g3.reshape(MT * S, g3.shape[-1])
-    for li_ in range(n_layers):
+    # layer 0: g3 already holds [xyz, feats] @ W0; fold the center-subtract
+    # into the bias: b0 - q @ W0[:3]. Kept f32/HIGHEST: q carries absolute
+    # coordinates, and this term cancels against comb0's xyz contribution —
+    # bf16 here would leak coordinate-magnitude rounding into the features.
+    b_eff = b_refs[0][...] - jax.lax.dot_general(
+        q, w0xyz_ref[...], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)                  # (MT, C0)
+    h3 = jnp.maximum(g3 + b_eff[:, None, :], 0.0)            # (MT, S, C0)
+    h = h3.reshape(MT * S, h3.shape[-1])
+    for li_ in range(n_layers - 1):
         W = w_refs[li_][...]
-        b = b_refs[li_][...]
+        b = b_refs[li_ + 1][...]
         c_out_l = W.shape[1]
-        if li_ == 0:
-            # fold the center-subtract into the bias: b - q @ W[:3].
-            # Kept f32/HIGHEST: q carries absolute coordinates, and this
-            # term cancels against g @ W's xyz contribution — bf16 here
-            # would leak coordinate-magnitude rounding into the features.
-            b_eff = b - jax.lax.dot_general(
-                q, W[:3, :], (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)          # (MT, Cout)
-            b_eff = b_eff[:, None, :]
-        else:
-            b_eff = b[None, :, :]
         z = jax.lax.dot_general(h.astype(jnp.bfloat16),
                                 W.astype(jnp.bfloat16),
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        z3 = jnp.maximum(z.reshape(MT, S, c_out_l) + b_eff, 0.0)
+        z3 = jnp.maximum(z.reshape(MT, S, c_out_l) + b[None, :, :], 0.0)
         h = z3.reshape(MT * S, c_out_l)
 
     out_ref[0, 0] = jnp.max(h.reshape(MT, S, -1), axis=1)    # (MT, Cout)
@@ -190,13 +195,21 @@ def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels,
     T = P // LANE
     n_layers = len(kernels)
     c_out = kernels[-1].shape[1]
-    c_in = 3 + features.shape[2]
+    c0 = kernels[0].shape[1]
 
-    # query tile: bound the dominant VMEM buffers (d2 + g + h0) to ~2 MB
-    per_q = (P * 4) + S * (c_in + kernels[0].shape[1]) * 4
-    budget = max((2 * 1024 * 1024) // per_q, 8)
+    # layer-0 pre-activations per point (one efficient XLA matmul): the
+    # selector gather then emits width-c0 rows (no lane-padding waste for
+    # ragged 3+C inputs) and the kernel skips the per-slot layer-0 matmul
+    comb = jnp.concatenate([xyz.astype(jnp.float32),
+                            features.astype(jnp.float32)], axis=-1)
+    comb0 = jnp.einsum("bnc,cd->bnd", comb, kernels[0].astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST)
+
+    # query tile: bound the dominant VMEM buffers (d2 + g + h) to ~4 MB
+    per_q = (P * 4) + S * max(c0, c_out) * 8
+    budget = max((4 * 1024 * 1024) // per_q, 8)
     MT = 8
-    for cand in (128, 64, 32, 16, 8):
+    for cand in (256, 128, 64, 32, 16, 8):
         if cand <= budget and M % cand == 0:
             MT = cand
             break
@@ -210,17 +223,17 @@ def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels,
     qx = coord(new_xyz, 0, (B, M // MT, MT, 1))
     qy = coord(new_xyz, 1, (B, M // MT, MT, 1))
     qz = coord(new_xyz, 2, (B, M // MT, MT, 1))
-    comb = jnp.concatenate([xyz.astype(jnp.float32),
-                            features.astype(jnp.float32)], axis=-1)
 
     qspec = pl.BlockSpec((1, 1, MT, 1), lambda b, m: (b, m, 0, 0),
                          memory_space=pltpu.VMEM)
     pspec = pl.BlockSpec((1, 1, T, LANE), lambda b, m: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((1, P, c_in), lambda b, m: (b, 0, 0),
+    cspec = pl.BlockSpec((1, P, c0), lambda b, m: (b, 0, 0),
                          memory_space=pltpu.VMEM)
+    w0spec = pl.BlockSpec((3, c0), lambda b, m: (0, 0),
+                          memory_space=pltpu.VMEM)
     wspecs = [pl.BlockSpec(k.shape, lambda b, m: (0, 0),
-                           memory_space=pltpu.VMEM) for k in kernels]
+                           memory_space=pltpu.VMEM) for k in kernels[1:]]
     bspecs = [pl.BlockSpec((1, b_.shape[0]), lambda b, m: (0, 0),
                            memory_space=pltpu.VMEM) for b_ in biases]
     ospec = pl.BlockSpec((1, 1, MT, c_out), lambda b, m: (b, m, 0, 0),
@@ -229,12 +242,13 @@ def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels,
     out = pl.pallas_call(
         functools.partial(_kernel, S, float(radius), n_layers, P),
         grid=(B, M // MT),
-        in_specs=[qspec, qspec, qspec, pspec, pspec, pspec, cspec]
+        in_specs=[qspec, qspec, qspec, pspec, pspec, pspec, cspec, w0spec]
                  + wspecs + bspecs,
         out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct((B, M // MT, MT, c_out), jnp.float32),
         interpret=interpret,
-    )(qx, qy, qz, px, py, pz, comb,
-      *[k.astype(jnp.float32) for k in kernels],
+    )(qx, qy, qz, px, py, pz, comb0,
+      kernels[0][:3].astype(jnp.float32),
+      *[k.astype(jnp.float32) for k in kernels[1:]],
       *[b_.reshape(1, -1).astype(jnp.float32) for b_ in biases])
     return out.reshape(B, M, c_out)
