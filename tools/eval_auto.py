@@ -85,7 +85,7 @@ def main():
         if stack.shape[0] < bsz:     # pad the tail batch to the jit shape
             stack = np.concatenate(
                 [stack, np.repeat(stack[-1:], bsz - stack.shape[0], 0)])
-        return idxs, samples, fn(variables, jnp.asarray(stack))
+        return idxs, samples, fn(variables, jnp.asarray(stack))["packed"]
 
     pending = None
     for lo in list(range(0, n, bsz)) + [None]:
@@ -95,12 +95,12 @@ def main():
             continue
         idxs, samples, out_fut = pending
         pending = nxt
-        out = jax.tree.map(np.asarray, out_fut)
+        packed = np.asarray(out_fut)          # ONE transfer per batch
         for j, i in enumerate(idxs):
             scene = src.get_scene(ds.sample_ids[i])
-            keep = out["keep"][j]
-            boxes = out["boxes"][j][keep]
-            scores = out["scores"][j][keep]
+            keep = packed[j, :, 8] > 0.5
+            boxes = packed[j, :, 0:7][keep]
+            scores = packed[j, :, 7][keep]
             det_count += boxes.shape[0]
             save_kitti_format(int(samples[j]["sample_id"]), scene.calib,
                               boxes, out_dir, scores, scene.image_shape,
