@@ -68,8 +68,14 @@ def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
     return jnp.sum(gathered * weight[..., None], axis=2)
 
 
-def _interpolate_xla(unknown, known, known_feats, chunk=2048):
-    d2, idx = three_nn(unknown, known, chunk=chunk)
+def _interpolate_xla(unknown, known, known_feats, chunk=2048,
+                     force_xla_nn=False):
+    if force_xla_nn:
+        # pure-XLA 3-NN: the Pallas kernel has no autodiff rule, and the
+        # fused path's custom_vjp differentiates through THIS composition
+        d2, idx = _three_nn_chunk(unknown, known)
+    else:
+        d2, idx = three_nn(unknown, known, chunk=chunk)
     recip = 1.0 / (d2 + 1e-8)
     weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
     return three_interpolate(known_feats, idx, weight)
@@ -89,7 +95,9 @@ def _interpolate_fused_fwd(unknown, known, known_feats, interpret):
 
 def _interpolate_fused_bwd(interpret, res, gout):
     unknown, known, known_feats = res
-    _, vjp = jax.vjp(_interpolate_xla, unknown, known, known_feats)
+    _, vjp = jax.vjp(
+        lambda u, k, f: _interpolate_xla(u, k, f, force_xla_nn=True),
+        unknown, known, known_feats)
     return vjp(gout)
 
 
