@@ -113,6 +113,13 @@ def test_two_stage_fn_end_to_end(rng):
     assert out["scores"].shape == (2, 8)
     assert out["keep"].shape == (2, 8)
     assert np.all(np.isfinite(np.asarray(out["boxes"])))
+    # packed (B, K, 9) record must mirror boxes/scores/keep exactly — the
+    # bench and eval_auto drain it with one host transfer
+    packed = np.asarray(out["packed"])
+    np.testing.assert_array_equal(packed[..., 0:7], np.asarray(out["boxes"]))
+    np.testing.assert_array_equal(packed[..., 7], np.asarray(out["scores"]))
+    np.testing.assert_array_equal(packed[..., 8] > 0.5,
+                                  np.asarray(out["keep"]))
 
 
 def test_crop_membership_counts_and_order():
