@@ -197,13 +197,18 @@ def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels,
     c_out = kernels[-1].shape[1]
     c0 = kernels[0].shape[1]
 
-    # layer-0 pre-activations per point (one efficient XLA matmul): the
-    # selector gather then emits width-c0 rows (no lane-padding waste for
-    # ragged 3+C inputs) and the kernel skips the per-slot layer-0 matmul
-    comb = jnp.concatenate([xyz.astype(jnp.float32),
-                            features.astype(jnp.float32)], axis=-1)
-    comb0 = jnp.einsum("bnc,cd->bnd", comb, kernels[0].astype(jnp.float32),
-                       precision=jax.lax.Precision.HIGHEST)
+    # layer-0 pre-activations per point (XLA matmuls): the selector gather
+    # then emits width-c0 rows (no lane-padding waste for ragged 3+C
+    # inputs) and the kernel skips the per-slot layer-0 matmul. Split by
+    # input block: the xyz term must stay exact f32 (it cancels against the
+    # -q @ W0[:3] bias fold — bf16 would leak coordinate-magnitude
+    # rounding), while the wide feature term runs at the same bf16-multiply
+    # numerics the in-kernel layer-0 matmul used before.
+    W0 = kernels[0].astype(jnp.float32)
+    comb0 = (jnp.einsum("bnc,cd->bnd", xyz.astype(jnp.float32), W0[:3],
+                        precision=jax.lax.Precision.HIGHEST)
+             + jnp.einsum("bnc,cd->bnd", features.astype(jnp.float32),
+                          W0[3:]))
 
     # query tile: bound the dominant VMEM buffers (d2 + g + h) to ~4 MB
     per_q = (P * 4) + S * max(c0, c_out) * 8
