@@ -93,6 +93,9 @@ def main():
     t0 = time.perf_counter()
     pending = [(it, fn(variables, bufs[it % NBUF])["packed"])
                for it in range(ITERS)]
+    for _, fut in pending:                   # start D2H copies in flight
+        if hasattr(fut, "copy_to_host_async"):
+            fut.copy_to_host_async()
     n_det = 0
     for it, packed_fut in pending:
         packed = np.asarray(packed_fut)      # ONE transfer per batch

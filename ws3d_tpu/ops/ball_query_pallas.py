@@ -132,11 +132,12 @@ def ball_query_pallas(radii: Sequence[float], nsamples: Sequence[int],
     M = new_xyz.shape[1]
     assert N % LANE == 0 and M % 8 == 0
     T = N // LANE
-    # Largest query tile whose (MT, N) f32 working set stays ~<=2 MB: small
-    # crops get big tiles (fewer grid programs — launch overhead dominates
-    # at (256 crops x 256 queries x 512 points) scale), big scenes stay
+    # Largest query tile whose per-query working set (d2 + prefix + mask,
+    # ~N*10 bytes) stays within ~6 MB of the 16 MB scoped VMEM: small crops
+    # get big tiles (fewer grid programs — the ~2 us program-switch overhead
+    # was ~half of SA-1 ball-query time at 2048 programs), big scenes stay
     # VMEM-safe.
-    budget = max(1024 * 1024 // (N * 4), 8)
+    budget = max(6 * 1024 * 1024 // (N * 10), 8)
     MT = 8
     for cand in (128, 64, 32, 16, 8):
         if cand <= budget and M % cand == 0:

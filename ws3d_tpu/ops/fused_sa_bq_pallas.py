@@ -210,9 +210,13 @@ def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels,
              + jnp.einsum("bnc,cd->bnd", features.astype(jnp.float32),
                           W0[3:]))
 
-    # query tile: bound the dominant VMEM buffers (d2 + g + h) to ~4 MB
-    per_q = (P * 4) + S * max(c0, c_out) * 8
-    budget = max((4 * 1024 * 1024) // per_q, 8)
+    # query tile: bound the per-query VMEM working set (d2 + prefix + masks
+    # at ~P*12 bytes, plus the gathered/activation rows) to ~6 MB of the
+    # 16 MB scoped VMEM. Big tiles matter — grid-program switch costs ~2 us
+    # and thousands of tiny programs were ~half of each SA stage's time —
+    # but P*4 alone under-counted and OOM'd scoped vmem at MT=256, P=4096.
+    per_q = (P * 12) + S * max(c0, c_out) * 8
+    budget = max((6 * 1024 * 1024) // per_q, 8)
     MT = 8
     for cand in (256, 128, 64, 32, 16, 8):
         if cand <= budget and M % cand == 0:
