@@ -134,8 +134,12 @@ def _xla_reference(xyz, features, new_xyz, radius, nsample, kernels, biases):
     """Unfused composition (ball query + group + dense stack + max) — the
     backward path and the golden reference in tests."""
     from ws3d_tpu.ops.grouping import query_and_group
+    # force_xla: this composition runs inside the custom_vjp backward and
+    # is linearized w.r.t. the coordinates — the Pallas ball query has no
+    # autodiff rule and would crash training (int indices have zero
+    # tangent, so the XLA path's gradient is identical)
     h = query_and_group(float(radius), int(nsample), xyz, new_xyz, features,
-                        use_xyz=True)
+                        use_xyz=True, force_xla=True)
     for k, b in zip(kernels, biases):
         h = jnp.maximum(jnp.einsum("bmsc,cd->bmsd", h, k) + b, 0.0)
     return jnp.max(h, axis=2)

@@ -155,13 +155,17 @@ def ball_query_multi(radii, nsamples, xyz: jnp.ndarray, new_xyz: jnp.ndarray,
 
 
 def ball_query(radius: float, nsample: int, xyz: jnp.ndarray,
-               new_xyz: jnp.ndarray, chunk: int = 512) -> jnp.ndarray:
+               new_xyz: jnp.ndarray, chunk: int = 512,
+               force_xla: bool = False) -> jnp.ndarray:
     """:param xyz: (B, N, 3) all points
     :param new_xyz: (B, M, 3) query centers
+    :param force_xla: skip the Pallas kernel (it has no autodiff rule —
+        REQUIRED when this call sits inside a function being linearized
+        w.r.t. the coordinates, e.g. a fused-SA custom_vjp backward)
     :return: (B, M, nsample) int32 indices into N
     """
     B, M, _ = new_xyz.shape
-    if _use_pallas(xyz.shape[1], M):
+    if not force_xla and _use_pallas(xyz.shape[1], M):
         from ws3d_tpu.ops.ball_query_pallas import ball_query_pallas
         return ball_query_pallas([radius], [nsample], xyz, new_xyz)[0]
     chunk = min(chunk, M)
@@ -207,12 +211,14 @@ def group_with_idx(idx: jnp.ndarray, xyz: jnp.ndarray,
 
 def query_and_group(radius: float, nsample: int, xyz: jnp.ndarray,
                     new_xyz: jnp.ndarray, features: jnp.ndarray | None,
-                    use_xyz: bool = True, chunk: int = 512) -> jnp.ndarray:
+                    use_xyz: bool = True, chunk: int = 512,
+                    force_xla: bool = False) -> jnp.ndarray:
     """QueryAndGroup (pointnet2_utils.py:231-268) in channel-last layout.
 
     :return: (B, M, nsample, 3+C) — center-relative xyz concat features.
     """
-    idx = ball_query(radius, nsample, xyz, new_xyz, chunk=chunk)
+    idx = ball_query(radius, nsample, xyz, new_xyz, chunk=chunk,
+                     force_xla=force_xla)
     return group_with_idx(idx, xyz, new_xyz, features, use_xyz=use_xyz)
 
 
