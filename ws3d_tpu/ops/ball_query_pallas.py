@@ -132,12 +132,15 @@ def ball_query_pallas(radii: Sequence[float], nsamples: Sequence[int],
     M = new_xyz.shape[1]
     assert N % LANE == 0 and M % 8 == 0
     T = N // LANE
-    # Largest query tile whose per-query working set (d2 + prefix + mask,
-    # ~N*10 bytes) stays within ~6 MB of the 16 MB scoped VMEM: small crops
-    # get big tiles (fewer grid programs — the ~2 us program-switch overhead
-    # was ~half of SA-1 ball-query time at 2048 programs), big scenes stay
-    # VMEM-safe.
-    budget = max(6 * 1024 * 1024 // (N * 10), 8)
+    # Largest query tile whose per-query working set stays within ~12 MB of
+    # the 16 MB scoped VMEM: d2 + prefix + mask rows cost ~N*10 bytes, and
+    # the slot->tile search buffers (lt/onehot/sel_prefix) cost
+    # ~max(nsample)*(T*8 + 512) — dominant for the wrap-pad crop path where
+    # nsample is 512. Bigger tiles matter (the ~2 us program-switch overhead
+    # was ~half of SA-1 ball-query time at 2048 programs).
+    max_k = max(int(k) for k in nsamples)
+    per_q = N * 10 + max_k * (T * 8 + 512)
+    budget = max(12 * 1024 * 1024 // per_q, 8)
     MT = 8
     for cand in (128, 64, 32, 16, 8):
         if cand <= budget and M % cand == 0:
