@@ -284,7 +284,8 @@ class BoxPlaceDataset:
 
 def synthetic_proposal_database(num: int = 64, seed: int = 0,
                                 crop_points: int = 512,
-                                fg_ratio: float = 0.7) -> List[Dict]:
+                                fg_ratio: float = 0.7,
+                                offset_std: float = 0.3) -> List[Dict]:
     """Build a synthetic stage-2 database without running stage 1: car-shaped
     crops centered near the proposal center, matching the record layout of
     generate_box_dataset.py:293-322 (raw mask format: prob_mask = sigmoid
@@ -296,7 +297,7 @@ def synthetic_proposal_database(num: int = 64, seed: int = 0,
         fg = rng.rand() < fg_ratio
         if fg:
             hwl = CAR_MEAN_HWL * (1 + rng.randn(3) * 0.05)
-            offset = rng.randn(2) * 0.3
+            offset = rng.randn(2) * offset_std
             ry = rng.uniform(-math.pi, math.pi)
             box = np.array([offset[0], 1.65, offset[1], *hwl, ry], np.float32)
             n_car = min(rng.randint(80, 300), crop_points * 3 // 4)
