@@ -82,10 +82,14 @@ def main():
                           method=model.rcnn_forward)
         boxes = out.get("refined_box", out["pred_boxes3d"]).reshape(K, 7)
         iou = out.get("rcnn_iou", jax.nn.sigmoid(out["rcnn_cls"]))
-        return finalize_detections(boxes, out["rcnn_cls"], iou, centers,
-                                   valid & ~empty,
-                                   rcnn_thresh=cfg.RCNN.SCORE_THRESH,
-                                   iou_thresh=cfg.IOUN.SCORE_THRESH)
+        boxes, scores, keep = finalize_detections(
+            boxes, out["rcnn_cls"], iou, centers, valid & ~empty,
+            rcnn_thresh=cfg.RCNN.SCORE_THRESH,
+            iou_thresh=cfg.IOUN.SCORE_THRESH)
+        # one packed (K, 9) record -> one host transfer (one tunnel RTT)
+        return jnp.concatenate(
+            [boxes, scores[:, None], keep[:, None].astype(boxes.dtype)],
+            axis=-1)
 
     from ws3d_tpu.eval.recall import RecallTally
     tally = RecallTally()
@@ -112,9 +116,11 @@ def main():
             hyp, valid = expand_clicks(clicks[:, [0, 2]])
             # no RPN here: every crop point is 'foreground' for the mask
             scores = np.ones(pts.shape[0], np.float32)
-            boxes, scores_out, keep = jax.tree.map(np.asarray, infer(
+            packed = np.asarray(infer(
                 jnp.asarray(pts, jnp.float32), jnp.asarray(scores),
                 jnp.asarray(hyp), jnp.asarray(valid)))
+            boxes, scores_out = packed[:, 0:7], packed[:, 7]
+            keep = packed[:, 8] > 0.5
             save_kitti_format(scene.sample_id, scene.calib, boxes[keep],
                               out_dir, scores_out[keep], scene.image_shape,
                               classes=cfg.CLASSES)
