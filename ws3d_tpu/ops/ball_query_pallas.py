@@ -53,10 +53,6 @@ def _kernel(radii, nsamples, n_total, wrap_pad,
     tj = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
     LT = (tj <= ti).astype(jnp.float32).T
 
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, LANE), 1)
-    tile_iota = jax.lax.broadcasted_iota(jnp.int32, (T, LANE), 0)
-    col_global = (tile_iota * LANE + lane_iota)           # (T, 128)
-
     for scale, (radius, k) in enumerate(zip(radii, nsamples)):
         maskf = (d2 < radius * radius).astype(jnp.bfloat16)   # (MT, T, 128)
         # inclusive prefix within each 128-tile: (MT, T, 128) @ (128, 128).
