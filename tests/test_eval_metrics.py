@@ -44,3 +44,25 @@ def test_iou_prediction_error():
     assert m["iou_pred_mae"] < 1e-5
     m2 = iou_prediction_error(np.array([0.5], np.float32), boxes, boxes)
     assert abs(m2["iou_pred_mae"] - 0.5) < 1e-5
+
+
+def test_recall_tally_numpy_host_path():
+    """RecallTally must stay pure-NumPy (eager jnp here cost ~30 s/scene
+    over the device tunnel) and match the jnp IoU within tolerance."""
+    from ws3d_tpu.eval.recall import RecallTally
+
+    rng = np.random.RandomState(3)
+    gt = rng.randn(5, 7).astype(np.float32)
+    gt[:, 3:6] = np.abs(gt[:, 3:6]) + 1.0
+    pred = gt.copy()
+    pred[:, 0] += np.array([0.05, 0.1, 0.2, 3.0, 5.0], np.float32)
+
+    tally = RecallTally(thresholds=(0.1, 0.5))
+    tally.update(pred, gt)
+    assert tally.total_gt == 5
+    assert tally.recalled[0] >= 3        # three near-identical boxes
+    assert tally.recalled[1] >= 2
+    assert tally.recalled[0] >= tally.recalled[1]
+
+    tally.update(np.zeros((0, 7), np.float32), gt)   # no dets: gt still count
+    assert tally.total_gt == 10

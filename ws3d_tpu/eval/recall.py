@@ -22,7 +22,11 @@ class RecallTally:
         self.total_gt = 0
 
     def update(self, pred_boxes: np.ndarray, gt_boxes: np.ndarray) -> None:
-        """pred_boxes (P, 7), gt_boxes (G, 7) — scene-frame bottom-y."""
+        """pred_boxes (P, 7), gt_boxes (G, 7) — scene-frame bottom-y.
+
+        Pure NumPy on host: the previous eager jnp boxes_iou3d dispatched
+        ~100 elementary ops per scene over the tunnel (~30 s/scene on axon
+        — eager dispatch is ~100 ms/op there, CLAUDE.md)."""
         g = gt_boxes.reshape(-1, 7)
         if g.shape[0] == 0:
             return
@@ -30,10 +34,12 @@ class RecallTally:
         p = pred_boxes.reshape(-1, 7)
         if p.shape[0] == 0:
             return
-        import jax.numpy as jnp
-        from ws3d_tpu.ops.iou3d import boxes_iou3d
-        _, iou3d = boxes_iou3d(jnp.asarray(p), jnp.asarray(g))
-        best = np.asarray(iou3d).max(axis=0)
+        from ws3d_tpu.eval.kitti_ap import d3_box_overlap
+        # (x, y, z, h, w, l, ry) bottom-y -> camera layout [x,y,z,l,h,w,ry]
+        cam = [0, 1, 2, 5, 3, 4, 6]
+        iou3d = d3_box_overlap(p[:, cam].astype(np.float64),
+                               g[:, cam].astype(np.float64))
+        best = iou3d.max(axis=0)
         for i, t in enumerate(self.thresholds):
             self.recalled[i] += int((best > t).sum())
 
