@@ -83,9 +83,18 @@ def main():
     calib = Calibration.identity()
     out_dir = tempfile.mkdtemp(prefix="ws3d_bench_")
 
-    for i in range(WARMUP):
-        out = fn(variables, bufs[i % NBUF])
-        np.asarray(out["keep"])
+    # The tunnel's compile server intermittently 500s (CLAUDE.md: "just
+    # retry"); a transient failure here must not sink the recorded run.
+    for attempt in range(3):
+        try:
+            for i in range(WARMUP):
+                out = fn(variables, bufs[i % NBUF])
+                np.asarray(out["keep"])
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(60)
 
     # Sustained-throughput loop: dispatch every batch up front (the device
     # runs them in order), then drain outputs oldest-first, writing each
