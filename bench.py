@@ -36,22 +36,40 @@ WEIGHTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def _load_fitted(variables):
-    """Overlay flat 'params/...'-keyed npz leaves onto the init tree."""
-    import jax
+    """Overlay flat 'params/...'-keyed npz leaves onto the init tree.
+
+    Fails hard unless EVERY init leaf is overlaid and EVERY npz key is
+    consumed: a partial overlay after a model/config refactor would make
+    the bench silently measure part-random weights while reporting
+    weights=fitted (round-2 advisor finding)."""
     flat = np.load(WEIGHTS)
-    leaves = {}
-    for key in flat.files:
-        leaves[tuple(key.split("/"))] = flat[key]
+    leaves = {tuple(key.split("/")): flat[key] for key in flat.files}
+    stats = {"total": 0, "overlaid": 0, "mismatched": []}
+    unused = set(leaves)
 
     def walk(tree, path):
         if isinstance(tree, dict):
             return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        stats["total"] += 1
         new = leaves.get(path)
         if new is None or new.shape != tree.shape:
+            stats["mismatched"].append(
+                "/".join(path) + ("" if new is None
+                                  else f" shape {new.shape}!={tree.shape}"))
             return tree
+        unused.discard(path)
+        stats["overlaid"] += 1
         return new.astype(np.asarray(tree).dtype)
 
-    return jax.tree_util.tree_map(lambda x: x, walk(variables, ()))
+    out = walk(variables, ())
+    if stats["mismatched"] or unused:
+        raise RuntimeError(
+            f"bench weights overlay incomplete: {stats['overlaid']}/"
+            f"{stats['total']} leaves overlaid; missing/mismatched="
+            f"{stats['mismatched'][:5]}; unused npz keys="
+            f"{sorted('/'.join(k) for k in unused)[:5]} — regenerate "
+            "ws3d_tpu/data/bench_weights.npz with tools/fit_bench_weights.py")
+    return out, stats["overlaid"], stats["total"]
 
 
 def main():
@@ -71,8 +89,10 @@ def main():
     model = build_model(cfg)
     variables = init_model(model, cfg, jax.random.PRNGKey(0))
     fitted = os.path.exists(WEIGHTS)
+    overlaid = total = 0
     if fitted:
-        variables = jax.device_put(_load_fitted(variables))
+        variables, overlaid, total = _load_fitted(variables)
+        variables = jax.device_put(variables)
     fn = jax.jit(make_two_stage_fn(model, cfg))
 
     src = SyntheticKitti(num_scenes=BATCH * NBUF, points_per_scene=20000,
@@ -85,15 +105,22 @@ def main():
 
     # The tunnel's compile server intermittently 500s (CLAUDE.md: "just
     # retry"); a transient failure here must not sink the recorded run.
+    # Only retry errors that look like transport/compile-server trouble —
+    # genuine bugs (tracer/shape errors, OOM) must surface immediately.
     for attempt in range(3):
         try:
             for i in range(WARMUP):
                 out = fn(variables, bufs[i % NBUF])
                 np.asarray(out["keep"])
             break
-        except Exception:
-            if attempt == 2:
+        except Exception as e:
+            transient = any(s in f"{type(e).__name__}: {e}" for s in (
+                "DEADLINE", "UNAVAILABLE", "INTERNAL", "500", "Socket",
+                "connection", "Connection", "RPC", "grpc"))
+            if attempt == 2 or not transient:
                 raise
+            print(f"# warmup attempt {attempt} failed (transient, retrying):"
+                  f" {type(e).__name__}: {e}")
             time.sleep(60)
 
     # Sustained-throughput loop: dispatch every batch up front (the device
@@ -124,6 +151,7 @@ def main():
         "vs_baseline": round(scenes_per_sec / BASELINE_SCENES_PER_SEC, 3),
         "detections_last_batch": n_det,
         "weights": "fitted" if fitted else "random-init",
+        "weights_overlaid": f"{overlaid}/{total}",
         "batch": BATCH,
         "iters": ITERS,
         "points": int(cfg.RPN.NUM_POINTS),

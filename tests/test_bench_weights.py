@@ -38,11 +38,12 @@ def test_flatten_overlay_roundtrip(tmp_path, monkeypatch):
                                 for k, v in leaves.items()})
 
     monkeypatch.setattr(bench, "WEIGHTS", str(npz))
-    restored = bench._load_fitted(variables)
+    restored, overlaid, total = bench._load_fitted(variables)
 
     flat_init = jax.tree_util.tree_leaves(variables)
     flat_rest = jax.tree_util.tree_leaves(restored)
     assert len(flat_init) == len(flat_rest)
+    assert overlaid == total == len(flat_init)
     n_changed = sum(
         not np.allclose(np.asarray(a), np.asarray(b))
         for a, b in zip(flat_init, flat_rest))
@@ -51,3 +52,31 @@ def test_flatten_overlay_roundtrip(tmp_path, monkeypatch):
     for a, b in zip(flat_init, flat_rest):
         np.testing.assert_allclose(np.asarray(a) + 1.0, np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_partial_overlay_fails(tmp_path, monkeypatch):
+    """A npz missing even one leaf must raise, not silently bench
+    part-random weights (round-2 advisor finding)."""
+    import pytest
+
+    import bench
+    from fit_bench_weights import flatten
+
+    from ws3d_tpu.config import load_config
+    from ws3d_tpu.models import build_model, init_model
+
+    cfg = load_config()
+    cfg.RPN.NUM_POINTS = 256
+    cfg.RPN.SA_CONFIG.NPOINTS = [64, 32, 16, 8]
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(0))
+
+    leaves = dict(flatten(jax.tree_util.tree_map(np.asarray, variables)))
+    dropped = sorted(leaves)[0]
+    del leaves[dropped]
+    npz = tmp_path / "w.npz"
+    np.savez_compressed(npz, **leaves)
+
+    monkeypatch.setattr(bench, "WEIGHTS", str(npz))
+    with pytest.raises(RuntimeError, match="overlay incomplete"):
+        bench._load_fitted(variables)

@@ -108,8 +108,13 @@ def _kernel(S, radius, n_layers, n_total,
 
     # layer 0: g3 already holds [xyz, feats] @ W0; fold the center-subtract
     # into the bias: b0 - q @ W0[:3]. Kept f32/HIGHEST: q carries absolute
-    # coordinates, and this term cancels against comb0's xyz contribution —
-    # bf16 here would leak coordinate-magnitude rounding into the features.
+    # coordinates, and this term cancels against comb0's xyz contribution.
+    # NOTE the cancellation is not bit-exact: the selector gather above
+    # rounds comb0 (which carries the same |xyz|*|W0| magnitude) to bf16,
+    # so ~|xyz|*|W0|*2^-9 rounding survives — comparable to the old
+    # in-kernel bf16 path and measured AP-neutral (BENCH.md round-2 AP
+    # unchanged); keeping THIS term f32 still halves the error and is
+    # one cheap (MT,3)x(3,C0) matmul.
     b_eff = b_refs[0][...] - jax.lax.dot_general(
         q, w0xyz_ref[...], (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,

@@ -81,7 +81,12 @@ def _interp_kernel(m_total, qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
         W = W + jnp.where(col == pick, rc / norm, 0.0)
 
     # weights are [0,1] with ~3 significant digits needed; bf16 multiplies
-    # with f32 accumulation match XLA's default-precision einsum numerics
+    # with f32 accumulation match XLA's default-precision einsum numerics.
+    # This diverges from the f32 gather composition used by the custom_vjp
+    # backward and the unaligned fallback by ~1% per element (parity test
+    # rtol 2e-2, tests/test_fused_interpolate.py); measured impact on the
+    # fitted-checkpoint synthetic AP: none (BENCH.md round-2, AP unchanged
+    # vs the f32 composition), so the ~2x MXU-rate win is kept.
     out_ref[0, 0] = jax.lax.dot_general(
         W.astype(jnp.bfloat16), feat_ref[0].astype(jnp.bfloat16),
         (((1,), (0,)), ((), ())),
