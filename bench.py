@@ -36,40 +36,11 @@ WEIGHTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def _load_fitted(variables):
-    """Overlay flat 'params/...'-keyed npz leaves onto the init tree.
-
-    Fails hard unless EVERY init leaf is overlaid and EVERY npz key is
-    consumed: a partial overlay after a model/config refactor would make
-    the bench silently measure part-random weights while reporting
-    weights=fitted (round-2 advisor finding)."""
-    flat = np.load(WEIGHTS)
-    leaves = {tuple(key.split("/")): flat[key] for key in flat.files}
-    stats = {"total": 0, "overlaid": 0, "mismatched": []}
-    unused = set(leaves)
-
-    def walk(tree, path):
-        if isinstance(tree, dict):
-            return {k: walk(v, path + (k,)) for k, v in tree.items()}
-        stats["total"] += 1
-        new = leaves.get(path)
-        if new is None or new.shape != tree.shape:
-            stats["mismatched"].append(
-                "/".join(path) + ("" if new is None
-                                  else f" shape {new.shape}!={tree.shape}"))
-            return tree
-        unused.discard(path)
-        stats["overlaid"] += 1
-        return new.astype(np.asarray(tree).dtype)
-
-    out = walk(variables, ())
-    if stats["mismatched"] or unused:
-        raise RuntimeError(
-            f"bench weights overlay incomplete: {stats['overlaid']}/"
-            f"{stats['total']} leaves overlaid; missing/mismatched="
-            f"{stats['mismatched'][:5]}; unused npz keys="
-            f"{sorted('/'.join(k) for k in unused)[:5]} — regenerate "
-            "ws3d_tpu/data/bench_weights.npz with tools/fit_bench_weights.py")
-    return out, stats["overlaid"], stats["total"]
+    """Overlay the fitted bench npz onto the init tree; all-or-nothing
+    (round-2 advisor finding: a partial overlay must fail, not silently
+    bench part-random weights while reporting weights=fitted)."""
+    from ws3d_tpu.utils.npz_overlay import overlay_flat_npz
+    return overlay_flat_npz(variables, WEIGHTS)
 
 
 def main():
@@ -85,6 +56,10 @@ def main():
     cfg = load_config()
     cfg.RCNN.ENABLED = True
     cfg.IOUN.ENABLED = True
+    # bf16 Dense compute (params/BN/accumulation stay f32) for the FP/head
+    # MLPs; the fused SA kernels are bf16-internal either way. Measured
+    # AP-neutral on the fitted checkpoint (BENCH.md round-3).
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
 
     model = build_model(cfg)
     variables = init_model(model, cfg, jax.random.PRNGKey(0))
@@ -127,8 +102,8 @@ def main():
     # runs them in order), then drain outputs oldest-first, writing each
     # scene's KITTI txt while later batches are still computing.
     t0 = time.perf_counter()
-    pending = [(it, fn(variables, bufs[it % NBUF])["packed"])
-               for it in range(ITERS)]
+    outs = [(it, fn(variables, bufs[it % NBUF])) for it in range(ITERS)]
+    pending = [(it, o["packed"]) for it, o in outs]
     for _, fut in pending:                   # start D2H copies in flight
         if hasattr(fut, "copy_to_host_async"):
             fut.copy_to_host_async()
@@ -143,6 +118,11 @@ def main():
                               out_dir, scores[j][keep[j]], (375, 1242))
     dt = time.perf_counter() - t0
     scenes_per_sec = BATCH * ITERS / dt
+    # occupancy/spill accounting (post-timing transfers): live proposals
+    # per batch and how many were dropped by the stage-2 compaction
+    # budgets — spill MUST be 0 or the budgets are undersized
+    n_live = int(np.asarray(outs[-1][1]["n_live"]))
+    spilled = max(int(np.asarray(o["spilled"])) for _, o in outs)
 
     result = {
         "metric": "two_stage_scenes_per_sec",
@@ -150,6 +130,8 @@ def main():
         "unit": "scenes/sec",
         "vs_baseline": round(scenes_per_sec / BASELINE_SCENES_PER_SEC, 3),
         "detections_last_batch": n_det,
+        "live_proposals_last_batch": n_live,
+        "max_spilled": spilled,
         "weights": "fitted" if fitted else "random-init",
         "weights_overlaid": f"{overlaid}/{total}",
         "batch": BATCH,

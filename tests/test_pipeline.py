@@ -122,6 +122,72 @@ def test_two_stage_fn_end_to_end(rng):
                                   np.asarray(out["keep"]))
 
 
+def test_two_stage_compaction_matches_full(rng):
+    """Stage-2 compaction (pooled top-V live slots through the trunk, gated
+    survivors through the cascade) must reproduce the full fixed-K path's
+    detections exactly when the budgets don't spill — per-crop compute is
+    batch-independent at inference."""
+    cfg = load_config()
+    cfg.RPN.NUM_POINTS = 256
+    cfg.RPN.SA_CONFIG.NPOINTS = [64, 32, 16, 8]
+    cfg.RCNN.ENABLED = True
+    cfg.IOUN.ENABLED = True
+    cfg.RCNN.SA_CONFIG.NPOINTS = [32, 16, 8, -1]
+    cfg.IOUN.SA_CONFIG.NPOINTS = [32, 16, 8, -1]
+    cfg.TPU.MAX_PROPOSALS = 16
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(0))
+
+    pts = rng.randn(2, 256, 4).astype(np.float32)
+    pts[..., 2] += 20
+    pts = jnp.asarray(pts)
+
+    cfg.TPU.RCNN_BUDGET_PER_SCENE = 0           # full path
+    full = jax.jit(make_two_stage_fn(model, cfg, num_points=64,
+                                     pre_nms_top=128))(variables, pts)
+    cfg.TPU.RCNN_BUDGET_PER_SCENE = 8           # V1 = 16 < B*K = 32
+    cfg.TPU.IOUN_BUDGET_PER_SCENE = 4           # V2 = 8
+    comp = jax.jit(make_two_stage_fn(model, cfg, num_points=64,
+                                     pre_nms_top=128))(variables, pts)
+
+    assert int(comp["spilled"]) == 0
+    keep_f = np.asarray(full["keep"])
+    keep_c = np.asarray(comp["keep"])
+    np.testing.assert_array_equal(keep_f, keep_c)
+    np.testing.assert_allclose(np.asarray(full["boxes"])[keep_f],
+                               np.asarray(comp["boxes"])[keep_c],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(full["scores"])[keep_f],
+                               np.asarray(comp["scores"])[keep_c],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_two_stage_compaction_spill_counted(rng):
+    """When live proposals exceed the budget the lowest-score ones are
+    dropped and `spilled` reports how many."""
+    cfg = load_config()
+    cfg.RPN.NUM_POINTS = 256
+    cfg.RPN.SA_CONFIG.NPOINTS = [64, 32, 16, 8]
+    cfg.RCNN.ENABLED = True
+    cfg.RCNN.SA_CONFIG.NPOINTS = [32, 16, 8, -1]
+    cfg.IOUN.SA_CONFIG.NPOINTS = [32, 16, 8, -1]
+    cfg.TPU.MAX_PROPOSALS = 16
+    cfg.RPN.SCORE_THRESH = -1.0                  # every vote passes
+    cfg.TPU.RCNN_BUDGET_PER_SCENE = 4            # V1 = 8, expect spill
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(0))
+    fn = jax.jit(make_two_stage_fn(model, cfg, num_points=64,
+                                   pre_nms_top=128))
+    pts = rng.randn(2, 256, 4).astype(np.float32)
+    pts[..., 2] += 20
+    out = fn(variables, jnp.asarray(pts))
+    n_live = int(out["n_live"])
+    # with IOUN off, the only spill source is the trunk budget: the top-V1
+    # slots by score are live-first, so spill == max(0, n_live - V1)
+    assert int(out["spilled"]) == max(0, n_live - 8)
+    assert n_live > 8, "fixture should overflow the budget"
+
+
 def test_crop_membership_counts_and_order():
     """Whole-crop membership: first-k indices in point order + true count
     (generate_box_dataset.py:216-232 keeps all in-4m points)."""
@@ -159,6 +225,43 @@ def test_whole_scene_sample_duplicate_padding():
     if n < 4096:
         np.testing.assert_array_equal(s["pts_input"][n], s["pts_input"][0])
     assert s["gt_boxes"].shape[1] == 7 and s["noise_boxes"].shape[1] == 7
+
+
+def test_click_gaussian_mask_golden():
+    """click_gaussian_mask must match a direct NumPy port of the reference
+    (/root/reference/tools/eval_active.py:656-675): per point,
+    pdf(clip(min-dist - status, 0, 100); cov) normalized to peak 1."""
+    import math
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from eval_active import click_gaussian_mask
+
+    rng = np.random.RandomState(7)
+    pts = rng.uniform(-20, 20, (500, 3)).astype(np.float32)
+    centers = rng.uniform(-15, 15, (3, 3)).astype(np.float32)
+    H, S, C = 0.707, 0.7, 1.5
+
+    # independent golden: literal port of the reference loop
+    point_center_dist = np.ones(500, np.float32) * 100
+    for k in range(centers.shape[0]):
+        box_distance = np.sqrt(
+            (pts[:, 0] - centers[k][0]) ** 2
+            + (pts[:, 1] * H) ** 2
+            + (pts[:, 2] - centers[k][2]) ** 2)
+        point_center_dist = np.minimum(
+            point_center_dist, np.clip(box_distance - S, 0, 100))
+    # multivariate_normal.pdf(d; mean=0, cov=C) / pdf(0) = exp(-d^2/(2C))
+    golden = (np.exp(-point_center_dist ** 2 / (2 * C))
+              / math.sqrt(2 * np.pi * C) * math.sqrt(2 * np.pi * C))
+
+    got = click_gaussian_mask(pts, centers, H, S, C)
+    np.testing.assert_allclose(got, golden, rtol=1e-5, atol=1e-6)
+    # peak ~1 near a center, ~0 far away
+    assert golden.max() <= 1.0 + 1e-6
+    # no centers -> all zeros (reference returns uninitialized there; the
+    # repo flow needs zeros so every crop mask is -0.5)
+    assert (click_gaussian_mask(pts, np.zeros((0, 3), np.float32),
+                                H, S, C) == 0).all()
 
 
 def test_expand_clicks_no_truncation():

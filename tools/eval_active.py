@@ -25,6 +25,22 @@ GRID_STEP = 0.1
 SLOT_BUCKETS = (128, 256, 512, 1024)
 
 
+def click_gaussian_mask(pts_rect: np.ndarray, centers: np.ndarray,
+                        gauss_height: float, gauss_status: float,
+                        gauss_cov: float) -> np.ndarray:
+    """Gaussian point mask around the click centers
+    (/root/reference/tools/eval_active.py:656-675): per point,
+    exp(-clip(min_k dist_k - status, 0, 100)^2 / (2*cov)) with
+    dist = sqrt((x-cx)^2 + (y*height)^2 + (z-cz)^2) — the same formula as
+    the RPN's Gaussian weak training labels, so this delegates to
+    gaussian_weak_labels and keeps one golden-tested implementation."""
+    from ws3d_tpu.datasets.rpn_dataset import gaussian_weak_labels
+    cls_label, _ = gaussian_weak_labels(
+        pts_rect, centers, gauss_height=gauss_height,
+        gauss_status=gauss_status, gauss_cov=gauss_cov)
+    return cls_label
+
+
 def expand_clicks(centers_xz: np.ndarray):
     """(M, 2) clicks -> (slots, 2) 5x5-grid hypotheses + valid mask, padded
     to the smallest fitting jit bucket so NO hypothesis is dropped (the
@@ -114,8 +130,15 @@ def main():
                               scene.image_shape, classes=cfg.CLASSES)
         else:
             hyp, valid = expand_clicks(clicks[:, [0, 2]])
-            # no RPN here: every crop point is 'foreground' for the mask
-            scores = np.ones(pts.shape[0], np.float32)
+            # no RPN here: the stage-2 mask channel comes from a Gaussian
+            # of distance to the clicks (reference eval_active.py:187,
+            # click_gaussian_mask) — crop_for_rcnn turns it into
+            # train_mask = (score > 0.5) - 0.5 like eval_active.py:262-267.
+            # Sentinel pad points get score 0 (they sit outside any crop).
+            scores = np.zeros(pts.shape[0], np.float32)
+            scores[:pts_rect.shape[0]] = click_gaussian_mask(
+                pts_rect, clicks[:, 0:3], cfg.RPN.GAUSS_HEIGHT,
+                cfg.RPN.GAUSS_STATUS, cfg.RPN.GAUSS_COV)
             packed = np.asarray(infer(
                 jnp.asarray(pts, jnp.float32), jnp.asarray(scores),
                 jnp.asarray(hyp), jnp.asarray(valid)))

@@ -31,6 +31,10 @@ def main():
                    help="separate stage-1 ckpt to stack with --ckpt (the\n"
                         "reference stacks RPN + RCNN ckpts the same way,\n"
                         "eval_active.py:677-703)")
+    p.add_argument("--bench_weights", action="store_true",
+                   help="overlay ws3d_tpu/data/bench_weights.npz (the\n"
+                        "fitted weights bench.py measures with) — for AP\n"
+                        "checks of the exact benched configuration")
     args = p.parse_args()
     cfg, log = setup(args)
     cfg.RCNN.ENABLED = True
@@ -62,6 +66,13 @@ def main():
         variables = load_part_checkpoint(variables, args.rpn_ckpt,
                                          subtrees=("rpn",))
         log.info("loaded rpn ckpt %s", args.rpn_ckpt)
+    if args.bench_weights:
+        from ws3d_tpu.utils.npz_overlay import overlay_flat_npz
+        wpath = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "ws3d_tpu", "data",
+            "bench_weights.npz")
+        variables, o, t = overlay_flat_npz(variables, wpath)
+        log.info("overlaid fitted bench weights (%d/%d leaves)", o, t)
 
     variables = jax.device_put(variables)   # pin once: restored ckpts are host numpy
     fn = jax.jit(make_two_stage_fn(model, cfg))

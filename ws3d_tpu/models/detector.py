@@ -58,6 +58,29 @@ class PointRCNN(nn.Module):
                          batch["train_mask"], iou_noise=iou_noise,
                          train=train, bn_momentum=bn_momentum)
 
+    def rcnn_trunk_forward(self, batch, train: bool = False, bn_momentum=0.1):
+        """RCNN trunk only (no IOUN cascade) — inference-time compaction
+        runs the cascade separately on rcnn-score-gate survivors."""
+        assert self.rcnn is not None, "RCNN stage not enabled"
+        return self.rcnn.trunk(batch["cur_box_point"],
+                               batch["cur_box_reflect"],
+                               batch["train_mask"], train=train,
+                               bn_momentum=bn_momentum)
+
+    def ioun_forward(self, batch, train: bool = False, bn_momentum=0.1):
+        """IOUN cascade from a trunk-predicted box (batch['pred_boxes3d'],
+        (B, 7) bottom-y crop frame)."""
+        assert self.rcnn is not None, "RCNN stage not enabled"
+        iou_noise = None
+        if "iou_trans" in batch:
+            iou_noise = {"trans": batch["iou_trans"],
+                         "scale": batch["iou_scale"],
+                         "ry": batch["iou_ry"]}
+        return self.rcnn.cascade_fwd(
+            batch["cur_box_point"], batch["cur_box_reflect"],
+            batch["train_mask"], batch["pred_boxes3d"], iou_noise=iou_noise,
+            train=train, bn_momentum=bn_momentum)
+
 
 def build_model(cfg) -> PointRCNN:
     """Create the facade per cfg.{RPN,RCNN,IOUN}.ENABLED flags

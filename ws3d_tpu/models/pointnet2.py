@@ -107,8 +107,12 @@ class PointnetSAModuleMSG(nn.Module):
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
     def _use_fused(self, xyz, features, train) -> bool:
+        # dtype=bfloat16 is compatible: the fused kernel already runs its
+        # selector/MLP matmuls as bf16 multiplicands with f32 accumulation
+        # (fused_sa_bq_pallas.py); any other dtype falls back to XLA
         if (self.npoint is None or not self.use_xyz
-                or features is None or self.dtype is not None
+                or features is None
+                or self.dtype not in (None, jnp.bfloat16)
                 or self.npoint % 8 != 0 or xyz.shape[1] % 128 != 0):
             return False
         # BN stages fold running stats into the kernel — inference only

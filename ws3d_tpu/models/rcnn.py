@@ -95,58 +95,91 @@ class RCNNNet(nn.Module):
         per_loc_bin_num = int(self.loc_scope / self.loc_bin_size) * 2
         return per_loc_bin_num * 4 + self.num_head_bin * 2 + 3 + 1
 
-    @nn.compact
-    def __call__(self, cur_box_point: jnp.ndarray,
-                 cur_box_reflect: jnp.ndarray, train_mask: jnp.ndarray,
-                 iou_noise: Optional[Dict[str, jnp.ndarray]] = None,
-                 train: bool = False, bn_momentum=0.1) -> Dict[str, jnp.ndarray]:
-        """cur_box_point (B, P, 3) crop xyz (proposal-centered),
-        cur_box_reflect (B, P, 1), train_mask (B, P, 1).
+    def setup(self):
+        # setup-style (not nn.compact) so inference can call trunk() and
+        # cascade() separately: the two-stage pipeline runs the RCNN trunk
+        # on a compacted valid-proposal budget and the (expensive) IOUN
+        # cascade on only the rcnn-score-gate survivors, instead of B*K
+        # fixed slots. Attribute names reproduce the previous explicit
+        # name= strings (flax auto-names list entries with _<index>), so
+        # the param tree is unchanged across the refactor.
+        self.xyz_up = SharedMLP(list(self.xyz_up_layer), use_bn=self.use_bn,
+                                dtype=self.dtype)
+        self.feature_up = SharedMLP(list(self.xyz_up_layer),
+                                    use_bn=self.use_bn, dtype=self.dtype)
+        self.merge_down = SharedMLP([self.xyz_up_layer[-1]],
+                                    use_bn=self.use_bn, dtype=self.dtype)
+        self.sa_stack = _SAStack(
+            npoints=self.sa_npoints, radius=self.sa_radius,
+            nsample=self.sa_nsample, mlps=self.sa_mlps, use_bn=self.use_bn,
+            bq_chunk=self.bq_chunk, dtype=self.dtype)
+        self.cls_head = HeadMLP(
+            hidden=list(self.cls_fc), out_channels=1, use_bn=self.use_bn,
+            dp_ratio=self.dp_ratio, dtype=self.dtype, kernel_init=XAVIER,
+            final_kernel_init=XAVIER)
+        self.reg_head = HeadMLP(
+            hidden=list(self.reg_fc), out_channels=self.reg_channels,
+            use_bn=self.use_bn, dp_ratio=self.dp_ratio, dtype=self.dtype,
+            kernel_init=XAVIER,
+            final_kernel_init=nn.initializers.normal(0.001))
+        if not self.ioun_enabled:
+            return
+        ncas = int(self.cascade)
+        self.can_xyz_up = [
+            SharedMLP(list(self.xyz_up_layer), use_bn=self.ioun_use_bn)
+            for _ in range(ncas)]
+        self.can_feature_up = [
+            SharedMLP(list(self.xyz_up_layer), use_bn=self.ioun_use_bn)
+            for _ in range(ncas)]
+        self.can_merge_down = [
+            SharedMLP([self.xyz_up_layer[-1]], use_bn=self.ioun_use_bn)
+            for _ in range(ncas)]
+        self.sa_score = [
+            _SAStack(npoints=self.ioun_sa_npoints,
+                     radius=self.ioun_sa_radius,
+                     nsample=self.ioun_sa_nsample, mlps=self.ioun_sa_mlps,
+                     use_bn=self.ioun_use_bn, bq_chunk=self.bq_chunk,
+                     dtype=self.dtype)
+            for _ in range(ncas)]
+        self.iou_head = [
+            HeadMLP(hidden=list(self.ioun_cls_fc), out_channels=1,
+                    use_bn=self.ioun_use_bn, dp_ratio=self.ioun_dp_ratio,
+                    kernel_init=XAVIER, final_kernel_init=XAVIER)
+            for _ in range(ncas)]
+        self.icl_head = [
+            HeadMLP(hidden=list(self.ioun_cls_fc), out_channels=1,
+                    use_bn=self.ioun_use_bn, dp_ratio=self.ioun_dp_ratio,
+                    kernel_init=XAVIER, final_kernel_init=XAVIER)
+            for _ in range(ncas)]
+        self.ref_head = [
+            HeadMLP(hidden=list(self.ioun_reg_fc), out_channels=7,
+                    use_bn=self.ioun_use_bn, dp_ratio=self.ioun_dp_ratio,
+                    kernel_init=XAVIER, final_kernel_init=XAVIER)
+            for _ in range(ncas)]
 
-        iou_noise (train-time cascade jitter, kitti_boxplace_dataset.py:504-534):
-        dict with 'trans' (B, 3, CASCADE), 'scale' (B, 3, CASCADE),
-        'ry' (B, 1, CASCADE).
-
-        Returns rcnn_cls (B,), rcnn_reg (B, 52), pred_boxes3d (B, 7) and — if
-        ioun_enabled — rcnn_iou (B,), ioun_cls (B,), rcnn_ref (B, 7),
-        refined_box (B, 7). Boxes are bottom-y in the crop frame.
-        """
+    def trunk(self, cur_box_point: jnp.ndarray,
+              cur_box_reflect: jnp.ndarray, train_mask: jnp.ndarray,
+              train: bool = False, bn_momentum=0.1) -> Dict[str, jnp.ndarray]:
+        """RCNN trunk only (rcnn_net.py:253-308): up/merge MLPs, SA pyramid,
+        cls/reg heads, in-graph box decode. Boxes bottom-y, crop frame."""
         B = cur_box_point.shape[0]
         xyz = cur_box_point
         raw_features = jnp.concatenate([cur_box_reflect, train_mask], axis=-1)
 
-        up_xyz = SharedMLP(list(self.xyz_up_layer), use_bn=self.use_bn,
-                           dtype=self.dtype, name="xyz_up")(xyz, train=train,
-                                          bn_momentum=bn_momentum)
-        up_feat = SharedMLP(list(self.xyz_up_layer), use_bn=self.use_bn,
-                            dtype=self.dtype, name="feature_up")(raw_features, train=train,
-                                               bn_momentum=bn_momentum)
-        merged = SharedMLP([self.xyz_up_layer[-1]], use_bn=self.use_bn,
-                           dtype=self.dtype, name="merge_down")(
+        up_xyz = self.xyz_up(xyz, train=train, bn_momentum=bn_momentum)
+        up_feat = self.feature_up(raw_features, train=train,
+                                  bn_momentum=bn_momentum)
+        merged = self.merge_down(
             jnp.concatenate([up_xyz, up_feat], axis=-1), train=train,
             bn_momentum=bn_momentum)
 
-        trunk = _SAStack(npoints=self.sa_npoints, radius=self.sa_radius,
-                         nsample=self.sa_nsample, mlps=self.sa_mlps,
-                         use_bn=self.use_bn, bq_chunk=self.bq_chunk,
-                         dtype=self.dtype, name="sa_stack")(xyz, merged, train=train,
-                                          bn_momentum=bn_momentum)  # (B,1,512)
+        trunk = self.sa_stack(xyz, merged, train=train,
+                              bn_momentum=bn_momentum)      # (B, 1, 512)
 
-        rcnn_cls = HeadMLP(hidden=list(self.cls_fc), out_channels=1,
-                           use_bn=self.use_bn, dp_ratio=self.dp_ratio,
-                           dtype=self.dtype,
-                           kernel_init=XAVIER, final_kernel_init=XAVIER,
-                           name="cls_head")(trunk, train=train,
-                                            bn_momentum=bn_momentum)
-        rcnn_reg = HeadMLP(hidden=list(self.reg_fc),
-                           out_channels=self.reg_channels,
-                           use_bn=self.use_bn, dp_ratio=self.dp_ratio,
-                           dtype=self.dtype, kernel_init=XAVIER,
-                           final_kernel_init=nn.initializers.normal(0.001),
-                           name="reg_head")(trunk, train=train,
-                                            bn_momentum=bn_momentum)
-        rcnn_cls = rcnn_cls.reshape(B)
-        rcnn_reg = rcnn_reg.reshape(B, -1)
+        rcnn_cls = self.cls_head(trunk, train=train,
+                                 bn_momentum=bn_momentum).reshape(B)
+        rcnn_reg = self.reg_head(trunk, train=train,
+                                 bn_momentum=bn_momentum).reshape(B, -1)
 
         zero_roi = jnp.zeros((B, 3), dtype=rcnn_reg.dtype)
         pred_boxes3d = jax.lax.stop_gradient(decode_box_stage2(
@@ -156,10 +189,22 @@ class RCNNNet(nn.Module):
             get_ry_fine=False, loc_y_scope=self.loc_y_scope,
             loc_y_bin_size=self.loc_y_bin_size))          # (B, 7) bottom-y
 
-        out = {"rcnn_cls": rcnn_cls, "rcnn_reg": rcnn_reg,
-               "pred_boxes3d": pred_boxes3d}
-        if not self.ioun_enabled:
-            return out
+        return {"rcnn_cls": rcnn_cls, "rcnn_reg": rcnn_reg,
+                "pred_boxes3d": pred_boxes3d}
+
+    def cascade_fwd(self, cur_box_point: jnp.ndarray,
+                    cur_box_reflect: jnp.ndarray, train_mask: jnp.ndarray,
+                    pred_boxes3d: jnp.ndarray,
+                    iou_noise: Optional[Dict[str, jnp.ndarray]] = None,
+                    train: bool = False,
+                    bn_momentum=0.1) -> Dict[str, jnp.ndarray]:
+        """IOUN cascade (rcnn_net.py:314-396) from a trunk-predicted box:
+        canonicalize crop into the box frame, fresh up/merge + SA stack per
+        stage, IOU/ICL/ref heads, refine_box. pred_boxes3d (B, 7) bottom-y
+        in the crop frame."""
+        B = cur_box_point.shape[0]
+        raw_features = jnp.concatenate([cur_box_reflect, train_mask], axis=-1)
+        out: Dict[str, jnp.ndarray] = {}
 
         boxes_ce = bottom_to_center(pred_boxes3d)         # (B, 7) center-y
         rcnn_ref = None
@@ -182,45 +227,23 @@ class RCNNNet(nn.Module):
             gate = jnp.max(jnp.abs(canon), axis=-1, keepdims=True) > EXTEND_FACTOR
             canon = jnp.where(gate, 0.0, canon)
 
-            c_xyz = SharedMLP(list(self.xyz_up_layer), use_bn=self.ioun_use_bn,
-                              name=f"can_xyz_up_{c}")(canon, train=train,
-                                                      bn_momentum=bn_momentum)
-            c_feat = SharedMLP(list(self.xyz_up_layer), use_bn=self.ioun_use_bn,
-                               name=f"can_feature_up_{c}")(
-                raw_features, train=train, bn_momentum=bn_momentum)
-            c_merged = SharedMLP([self.xyz_up_layer[-1]],
-                                 use_bn=self.ioun_use_bn,
-                                 name=f"can_merge_down_{c}")(
+            c_xyz = self.can_xyz_up[c](canon, train=train,
+                                       bn_momentum=bn_momentum)
+            c_feat = self.can_feature_up[c](raw_features, train=train,
+                                            bn_momentum=bn_momentum)
+            c_merged = self.can_merge_down[c](
                 jnp.concatenate([c_xyz, c_feat], axis=-1), train=train,
                 bn_momentum=bn_momentum)
 
-            feat = _SAStack(npoints=self.ioun_sa_npoints,
-                            radius=self.ioun_sa_radius,
-                            nsample=self.ioun_sa_nsample,
-                            mlps=self.ioun_sa_mlps, use_bn=self.ioun_use_bn,
-                            bq_chunk=self.bq_chunk, dtype=self.dtype,
-                            name=f"sa_score_{c}")(canon, c_merged, train=train,
-                                                  bn_momentum=bn_momentum)
+            feat = self.sa_score[c](canon, c_merged, train=train,
+                                    bn_momentum=bn_momentum)
 
-            rcnn_iou = HeadMLP(hidden=list(self.ioun_cls_fc), out_channels=1,
-                               use_bn=self.ioun_use_bn,
-                               dp_ratio=self.ioun_dp_ratio, kernel_init=XAVIER,
-                               final_kernel_init=XAVIER,
-                               name=f"iou_head_{c}")(feat, train=train,
-                                                     bn_momentum=bn_momentum)
-            ioun_cls = HeadMLP(hidden=list(self.ioun_cls_fc), out_channels=1,
-                               use_bn=self.ioun_use_bn,
-                               dp_ratio=self.ioun_dp_ratio, kernel_init=XAVIER,
-                               final_kernel_init=XAVIER,
-                               name=f"icl_head_{c}")(feat, train=train,
-                                                     bn_momentum=bn_momentum)
-            rcnn_ref = HeadMLP(hidden=list(self.ioun_reg_fc), out_channels=7,
-                               use_bn=self.ioun_use_bn,
-                               dp_ratio=self.ioun_dp_ratio, kernel_init=XAVIER,
-                               final_kernel_init=XAVIER,
-                               name=f"ref_head_{c}")(feat, train=train,
-                                                     bn_momentum=bn_momentum)
-            rcnn_ref = rcnn_ref.reshape(B, 7)
+            rcnn_iou = self.iou_head[c](feat, train=train,
+                                        bn_momentum=bn_momentum)
+            ioun_cls = self.icl_head[c](feat, train=train,
+                                        bn_momentum=bn_momentum)
+            rcnn_ref = self.ref_head[c](feat, train=train,
+                                        bn_momentum=bn_momentum).reshape(B, 7)
 
             pred_boxes3d = center_to_bottom(boxes_ce)
             refined_box = refine_box(pred_boxes3d, rcnn_ref)
@@ -229,6 +252,30 @@ class RCNNNet(nn.Module):
                         "rcnn_ref": rcnn_ref,
                         "pred_boxes3d": pred_boxes3d,
                         "refined_box": refined_box})
+        return out
+
+    def __call__(self, cur_box_point: jnp.ndarray,
+                 cur_box_reflect: jnp.ndarray, train_mask: jnp.ndarray,
+                 iou_noise: Optional[Dict[str, jnp.ndarray]] = None,
+                 train: bool = False, bn_momentum=0.1) -> Dict[str, jnp.ndarray]:
+        """cur_box_point (B, P, 3) crop xyz (proposal-centered),
+        cur_box_reflect (B, P, 1), train_mask (B, P, 1).
+
+        iou_noise (train-time cascade jitter, kitti_boxplace_dataset.py:504-534):
+        dict with 'trans' (B, 3, CASCADE), 'scale' (B, 3, CASCADE),
+        'ry' (B, 1, CASCADE).
+
+        Returns rcnn_cls (B,), rcnn_reg (B, 52), pred_boxes3d (B, 7) and — if
+        ioun_enabled — rcnn_iou (B,), ioun_cls (B,), rcnn_ref (B, 7),
+        refined_box (B, 7). Boxes are bottom-y in the crop frame.
+        """
+        out = self.trunk(cur_box_point, cur_box_reflect, train_mask,
+                         train=train, bn_momentum=bn_momentum)
+        if not self.ioun_enabled:
+            return out
+        out.update(self.cascade_fwd(
+            cur_box_point, cur_box_reflect, train_mask, out["pred_boxes3d"],
+            iou_noise=iou_noise, train=train, bn_momentum=bn_momentum))
         return out
 
 

@@ -225,6 +225,10 @@ def finalize_detections(boxes: jnp.ndarray, rcnn_cls: jnp.ndarray,
     return out, iou_score, keep_final
 
 
+def _round8(n: int) -> int:
+    return max(8, (int(n) + 7) // 8 * 8)
+
+
 def make_two_stage_fn(model, cfg, num_points: int = 512,
                       pre_nms_top: int = 512,
                       max_proposals: int | None = None):
@@ -232,7 +236,18 @@ def make_two_stage_fn(model, cfg, num_points: int = 512,
 
     Returns fn(variables, pts_input (B, N, 3+C)) ->
       dict(boxes (B, K, 7), scores (B, K), keep (B, K) bool,
-           centers (B, K, 2), proposal_valid (B, K)).
+           centers (B, K, 2), proposal_valid (B, K), spilled ()).
+
+    Stage-2 compaction (cfg.TPU.*_BUDGET_PER_SCENE): the fixed K=64 slots
+    per scene are a TPU static-shape artifact — fitted runs leave ~3 live
+    proposals per scene, so running all B*K crops through RCNN and the
+    IOUN cascade wastes >75% of stage-2 time. The live slots of the whole
+    batch are pooled and the top-V by RPN score run the trunk; the cascade
+    then runs on only the top-V2 rcnn-score-gate survivors (the reference
+    consumes the cascade output only where norm_rcnn>0.3,
+    eval_auto.py:426-436, and processes only actual proposals,
+    eval_auto.py:328-410). Slots beyond a budget are dropped lowest-score
+    first and counted in `spilled` — size the budgets so that stays 0.
     """
     K = max_proposals or cfg.TPU.MAX_PROPOSALS
     pre_nms_top = min(pre_nms_top, int(cfg.RPN.NUM_POINTS))
@@ -240,7 +255,10 @@ def make_two_stage_fn(model, cfg, num_points: int = 512,
     loc_bin_size = cfg.RPN.LOC_BIN_SIZE
     score_thresh = cfg.RPN.SCORE_THRESH
     rcnn_thresh = cfg.RCNN.SCORE_THRESH
-    iou_thresh = cfg.IOUN.SCORE_THRESH if cfg.IOUN.ENABLED else 0.0
+    ioun_on = bool(cfg.IOUN.ENABLED)
+    iou_thresh = cfg.IOUN.SCORE_THRESH if ioun_on else 0.0
+    rcnn_budget = int(getattr(cfg.TPU, "RCNN_BUDGET_PER_SCENE", 0))
+    ioun_budget = int(getattr(cfg.TPU, "IOUN_BUDGET_PER_SCENE", 0))
 
     def fn(variables, pts_input):
         """pts_input (B, N, 3+C). The two network stages run BATCHED — a
@@ -260,18 +278,78 @@ def make_two_stage_fn(model, cfg, num_points: int = 512,
         scores_norm = jax.nn.sigmoid(rpn_out["rpn_cls"][..., 0])
         crops, empty = crop_for_rcnn_batched(pts_input, scores_norm, centers,
                                              num_sampled=num_points)
+        live = valid & ~empty
         flat = jax.tree_util.tree_map(
             lambda a: a.reshape((B * K,) + a.shape[2:]), crops)
-        rcnn_out = model.apply(variables, flat, train=False,
-                               method=model.rcnn_forward)
-        boxes = rcnn_out.get("refined_box", rcnn_out["pred_boxes3d"])
-        rcnn_iou = rcnn_out.get("rcnn_iou",
-                                jax.nn.sigmoid(rcnn_out["rcnn_cls"]))
+        live_f = live.reshape(B * K)
+
+        V1 = min(_round8(B * rcnn_budget), B * K) if rcnn_budget > 0 else B * K
+        spilled = jnp.zeros((), jnp.int32)
+        neg_inf = jnp.asarray(-jnp.inf, prop_scores.dtype)
+
+        # trunk, optionally on a compacted top-V1 live subset. NOTE on the
+        # fitted bench the K=64 slots are SATURATED (~63.6 live/scene —
+        # the RPN proposes far more than the final detections), so trunk
+        # compaction is off by default; the win is the cascade gate below.
+        if V1 < B * K:
+            key1 = jnp.where(live_f, prop_scores.reshape(B * K), neg_inf)
+            _, sel1 = jax.lax.top_k(key1, V1)              # (V1,) into B*K
+            live_t = live_f[sel1]
+            spilled += jnp.sum(live_f) - jnp.sum(live_t)
+            crops_t = jax.tree_util.tree_map(lambda a: a[sel1], flat)
+        else:
+            sel1, live_t, crops_t = None, live_f, flat
+
+        trunk_out = model.apply(variables, crops_t, train=False,
+                                method=model.rcnn_trunk_forward)
+        cls_t = trunk_out["rcnn_cls"]                       # (V,)
+        boxes_t = trunk_out["pred_boxes3d"]                 # (V, 7)
+        V = cls_t.shape[0]
+
+        if ioun_on:
+            # the reference consumes cascade output only where
+            # norm_rcnn>0.3 (eval_auto.py:426-436) — run the cascade on
+            # only the top-V2 gate survivors
+            V2 = min(_round8(B * ioun_budget), V) if ioun_budget > 0 else V
+            if V2 < V:
+                gate = live_t & (jax.nn.sigmoid(cls_t) > rcnn_thresh)
+                key2 = jnp.where(gate, cls_t, neg_inf)
+                _, sel2 = jax.lax.top_k(key2, V2)           # (V2,) into V
+                spilled += jnp.sum(gate) - jnp.sum(gate[sel2])
+                crops_c = dict(
+                    jax.tree_util.tree_map(lambda a: a[sel2], crops_t),
+                    pred_boxes3d=boxes_t[sel2])
+                casc = model.apply(variables, crops_c, train=False,
+                                   method=model.ioun_forward)
+                # non-cascaded slots keep the trunk box with iou=-inf:
+                # they failed the cls gate (finalize drops them anyway) or
+                # spilled (counted above)
+                boxes_t = boxes_t.at[sel2].set(casc["refined_box"])
+                iou_t = jnp.full((V,), neg_inf).at[sel2].set(
+                    casc["rcnn_iou"])
+            else:
+                casc = model.apply(
+                    variables, dict(crops_t, pred_boxes3d=boxes_t),
+                    train=False, method=model.ioun_forward)
+                boxes_t = casc["refined_box"]
+                iou_t = casc["rcnn_iou"]
+        else:
+            iou_t = jax.nn.sigmoid(cls_t)
+
+        if sel1 is not None:
+            # scatter the compact results back to the B*K slot layout;
+            # unselected slots get cls=-inf (sigmoid 0 -> keep False)
+            boxes_f = jnp.zeros((B * K, 7), boxes_t.dtype).at[sel1].set(boxes_t)
+            cls_f = jnp.full((B * K,), neg_inf).at[sel1].set(cls_t)
+            iou_f = jnp.full((B * K,), neg_inf).at[sel1].set(iou_t)
+        else:
+            boxes_f, cls_f, iou_f = boxes_t, cls_t, iou_t
+
         finalize = partial(finalize_detections, rcnn_thresh=rcnn_thresh,
                            iou_thresh=iou_thresh)
         boxes, scores, keep = jax.vmap(finalize)(
-            boxes.reshape(B, K, 7), rcnn_out["rcnn_cls"].reshape(B, K),
-            rcnn_iou.reshape(B, K), centers, valid & ~empty)
+            boxes_f.reshape(B, K, 7), cls_f.reshape(B, K),
+            iou_f.reshape(B, K), centers, live)
         # one contiguous (B, K, 9) detection record so consumers pay a
         # single host transfer (each np.asarray leaf costs one tunnel RTT)
         packed = jnp.concatenate(
@@ -279,6 +357,7 @@ def make_two_stage_fn(model, cfg, num_points: int = 512,
             axis=-1)
         return {"boxes": boxes, "scores": scores, "keep": keep,
                 "packed": packed, "centers": centers,
-                "proposal_valid": valid}
+                "proposal_valid": valid, "spilled": spilled,
+                "n_live": jnp.sum(live).astype(jnp.int32)}
 
     return fn
