@@ -183,3 +183,53 @@ def test_data_parallel_jit_donates_state():
     assert float(s1[0, 0]) == 17.0
     with _pytest.raises(Exception):
         np.asarray(s0_dev) + 1          # donated -> deleted buffer
+
+
+def test_random_aug_box3d_methods():
+    from ws3d_tpu.pipeline.roi_target import random_aug_box3d
+    box = _box()
+    for method in ("single", "multiple", "normal"):
+        out = random_aug_box3d(box, method=method,
+                               rng=np.random.RandomState(3))
+        assert out.shape == (7,) and out.dtype == np.float32
+        assert not np.allclose(out, box)
+    # 'normal' is additive on h/w/l (proposal_target_layer.py:273-283),
+    # the others multiplicative
+    rng = np.random.RandomState(4)
+    outs = np.stack([random_aug_box3d(box, "single", rng) for _ in range(64)])
+    assert np.all(np.abs(outs[:, 0:3] - box[0:3]) <= 0.5 + 1e-6)
+    assert np.all(np.abs(outs[:, 6] - box[6]) <= np.pi / 12 + 1e-6)
+    import pytest
+    with pytest.raises(ValueError):
+        random_aug_box3d(box, method="bogus")
+
+
+def test_sample_rois_cfg_consults_config():
+    from ws3d_tpu.config import load_config
+    from ws3d_tpu.pipeline.roi_target import sample_rois_cfg
+    rng0 = np.random.RandomState(0)
+    gt = np.stack([_box(), _box(x=8.0)])
+    rois = np.concatenate([
+        gt + rng0.randn(2, 7).astype(np.float32) * 0.02,
+        np.stack([_box(x=3.0), _box(x=-3.0)]),
+        np.stack([_box(x=30.0), _box(x=-30.0)]),
+    ])
+    cfg = load_config()
+    cfg.RCNN.ROI_PER_IMAGE = 6
+    out = sample_rois_cfg(rois, gt, cfg, rng=np.random.RandomState(1))
+    assert out["rois"].shape == (6, 7)          # ROI_PER_IMAGE consulted
+    assert out["is_fg"].sum() >= 1
+    # fg rois are REG_AUG_METHOD-jittered but stay above the fg threshold
+    from ws3d_tpu.ops.iou3d import boxes_iou3d
+    fg = np.where(out["is_fg"])[0]
+    _, iou = boxes_iou3d(jnp.asarray(out["rois"][fg]),
+                         jnp.asarray(out["gt_of_rois"][fg]))
+    thr = min(cfg.RCNN.REG_FG_THRESH, cfg.RCNN.CLS_FG_THRESH)
+    assert np.all(np.asarray(iou).max(axis=1) >= thr - 1e-5)
+    # ROI_FG_AUG_TIMES=0 disables the jitter entirely
+    cfg2 = load_config()
+    cfg2.RCNN.ROI_PER_IMAGE = 6
+    cfg2.RCNN.ROI_FG_AUG_TIMES = 0
+    out2 = sample_rois_cfg(rois, gt, cfg2, rng=np.random.RandomState(1))
+    fg2 = np.where(out2["is_fg"])[0]
+    assert np.all(np.isin(out2["rois"][fg2], rois))

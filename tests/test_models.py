@@ -111,3 +111,47 @@ def test_ioun_train_noise(rng):
     # but the first-stage RCNN outputs are unaffected
     np.testing.assert_allclose(np.asarray(out0["rcnn_reg"]),
                                np.asarray(out1["rcnn_reg"]), rtol=1e-6)
+
+
+def test_context_attention_matches_torch_semantics(rng):
+    """Literal NumPy port of the reference block (rcnn_net.py:276-283):
+    feat (B, C, N); A = softmax(featT @ feat / sqrt(C), dim=1);
+    out = feat @ A + feat. The ATT 'context' module is
+    pt_utils.SharedMLP([C]) — zero layers, identity."""
+    from ws3d_tpu.models.rcnn import context_attention
+    B, N, C = 2, 16, 8
+    f = rng.randn(B, N, C).astype(np.float32)
+
+    ft = np.transpose(f, (0, 2, 1))                       # (B, C, N)
+    logits = np.einsum("bci,bcj->bij", ft, ft) / np.sqrt(float(C))
+    e = np.exp(logits - logits.max(axis=1, keepdims=True))
+    attn = e / e.sum(axis=1, keepdims=True)               # softmax dim=1
+    ref = np.einsum("bci,bij->bcj", ft, attn) + ft        # (B, C, N)
+    ref = np.transpose(ref, (0, 2, 1))
+
+    out = np.asarray(context_attention(jnp.asarray(f)))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_attention_flag_wires_and_keeps_param_tree(rng):
+    """cfg.ATTENTION=True changes the forward (parameter-FREE residual
+    blocks, so the param tree is identical — the fitted-npz overlay still
+    covers 100% of leaves)."""
+    batch = {
+        "cur_box_point": jnp.asarray(rng.randn(2, 64, 3), jnp.float32),
+        "cur_box_reflect": jnp.asarray(rng.rand(2, 64, 1), jnp.float32),
+        "train_mask": jnp.ones((2, 64, 1), jnp.float32),
+    }
+    outs, trees = [], []
+    for att in (False, True):
+        cfg = tiny_rcnn_cfg(ioun=True)
+        cfg.ATTENTION = att
+        model = build_model(cfg)
+        variables = init_model(model, cfg, jax.random.PRNGKey(2))
+        trees.append(jax.tree_util.tree_structure(variables))
+        outs.append(model.apply(variables, batch, train=False))
+    assert trees[0] == trees[1]
+    for key in ("rcnn_cls", "rcnn_iou"):
+        assert not np.allclose(np.asarray(outs[0][key]),
+                               np.asarray(outs[1][key])), key
+        assert np.all(np.isfinite(np.asarray(outs[1][key]))), key

@@ -114,6 +114,8 @@ def default_config() -> ConfigNode:
         "PC_REDUCE_BY_RANGE": True,
         "PC_AREA_SCOPE": [[-40.0, 40.0], [-3.0, 3.0], [0.0, 70.4]],
         "CLS_MEAN_SIZE": [[1.52563191462, 1.62856739989, 3.88311640418]],
+        # context-attention residual before each stage-2 SA module
+        # (models/rcnn.py:context_attention; off in every shipped yaml)
         "ATTENTION": False,
         "CASCADE": 1,
         # TPU-specific knobs (new in this framework)
@@ -172,12 +174,15 @@ def default_config() -> ConfigNode:
             "FOCAL_GAMMA": 2.0,
             "REG_LOSS_WEIGHT": [1.0, 1.0, 1.0, 1.0],
             "LOSS_WEIGHT": [1.0, 1.0],
+            # legacy top-N proposal NMS flavor (pipeline/proposal_layer.py)
             "NMS_TYPE": "normal",
             "SCORE_THRESH": 0.3,
         },
         "RCNN": {
             "ENABLED": False,
+            # crop input layout guard (models/rcnn.py:rcnn_from_config)
             "ROI_SAMPLE_JIT": True,
+            # RoI sampling tree -> pipeline/roi_target.py:sample_rois_cfg
             "REG_AUG_METHOD": "multiple",
             "ROI_FG_AUG_TIMES": 10,
             "USE_RPN_FEATURES": True,
@@ -278,6 +283,7 @@ def default_config() -> ConfigNode:
             "DIV_FACTOR": 10.0,
             "PCT_START": 0.4,
             "GRAD_NORM_CLIP": 1.0,
+            # legacy top-N proposal knobs (pipeline/proposal_layer.py)
             "RPN_PRE_NMS_TOP_N": 9000,
             "RPN_POST_NMS_TOP_N": 2048,
             "RPN_NMS_THRESH": 0.85,
@@ -286,6 +292,7 @@ def default_config() -> ConfigNode:
         },
         "TEST": {
             "SPLIT": "val",
+            # legacy top-N proposal knobs (pipeline/proposal_layer.py)
             "RPN_PRE_NMS_TOP_N": 9000,
             "RPN_POST_NMS_TOP_N": 100,
             "RPN_NMS_THRESH": 0.8,

@@ -34,6 +34,27 @@ from ws3d_tpu.ops.boxes import rotate_points_along_y
 EXTEND_FACTOR = 1.2  # canonical-crop gating (rcnn_net.py:346)
 
 
+def context_attention(features: jnp.ndarray) -> jnp.ndarray:
+    """Parameter-free context-attention residual (cfg.ATTENTION blocks,
+    rcnn_net.py:276-283 and 369-376).
+
+    The reference's ATT modules are ``pt_utils.SharedMLP([channel_in])`` —
+    a single-element channel list builds ZERO conv layers
+    (pytorch_utils.py:20-32), so ``context`` is the features themselves and
+    the whole block reduces to
+    ``feat += feat @ softmax(featᵀ·feat / sqrt(C), over the source axis)``.
+
+    features (B, N, C) channel-last -> same shape.
+    """
+    C = features.shape[-1]
+    # torch layout is (B, C, N): attention[b,i,j] = Σ_c f[c,i]·f[c,j],
+    # softmax over i (dim=1); out[b,c,j] = Σ_i f[b,c,i]·A[b,i,j]
+    logits = jnp.einsum("bic,bjc->bij", features, features)
+    logits = logits / jnp.sqrt(jnp.asarray(float(C), features.dtype))
+    attn = jax.nn.softmax(logits, axis=1)
+    return features + jnp.einsum("bij,bic->bjc", attn, features)
+
+
 class _SAStack(nn.Module):
     """Shared single-scale SA pyramid used by both the RCNN trunk and each
     IOUN cascade stage (rcnn_net.py:40-58 / 140-159)."""
@@ -43,12 +64,15 @@ class _SAStack(nn.Module):
     mlps: Any
     use_bn: bool = False
     bq_chunk: int = 512
+    attention: bool = False  # cfg.ATTENTION (rcnn_net.py:276-283)
     dtype: Any = None
 
     @nn.compact
     def __call__(self, xyz, features, train: bool = False, bn_momentum=0.1):
         for k in range(len(self.npoints)):
             npoint = None if int(self.npoints[k]) == -1 else int(self.npoints[k])
+            if self.attention and features is not None:
+                features = context_attention(features)
             xyz, features = PointnetSAModuleMSG(
                 npoint=npoint, radii=[float(self.radius[k])],
                 nsamples=[int(self.nsample[k])], mlps=[list(self.mlps[k])],
@@ -88,6 +112,7 @@ class RCNNNet(nn.Module):
     ioun_use_bn: bool = False
     ioun_dp_ratio: float = 0.0
     bq_chunk: int = 512
+    attention: bool = False   # cfg.ATTENTION: context-attn before each SA
     dtype: Any = None
 
     @property
@@ -112,7 +137,8 @@ class RCNNNet(nn.Module):
         self.sa_stack = _SAStack(
             npoints=self.sa_npoints, radius=self.sa_radius,
             nsample=self.sa_nsample, mlps=self.sa_mlps, use_bn=self.use_bn,
-            bq_chunk=self.bq_chunk, dtype=self.dtype)
+            bq_chunk=self.bq_chunk, attention=self.attention,
+            dtype=self.dtype)
         self.cls_head = HeadMLP(
             hidden=list(self.cls_fc), out_channels=1, use_bn=self.use_bn,
             dp_ratio=self.dp_ratio, dtype=self.dtype, kernel_init=XAVIER,
@@ -139,7 +165,7 @@ class RCNNNet(nn.Module):
                      radius=self.ioun_sa_radius,
                      nsample=self.ioun_sa_nsample, mlps=self.ioun_sa_mlps,
                      use_bn=self.ioun_use_bn, bq_chunk=self.bq_chunk,
-                     dtype=self.dtype)
+                     attention=self.attention, dtype=self.dtype)
             for _ in range(ncas)]
         self.iou_head = [
             HeadMLP(hidden=list(self.ioun_cls_fc), out_channels=1,
@@ -281,6 +307,14 @@ class RCNNNet(nn.Module):
 
 def rcnn_from_config(cfg) -> RCNNNet:
     """Build the stage-2 net from a ws3d_tpu ConfigNode."""
+    if not cfg.RCNN.ROI_SAMPLE_JIT:
+        # the reference's ROI_SAMPLE_JIT=False branch parses a pre-pooled
+        # pts_input layout (rcnn_net.py:246-251 else-path, dead in every
+        # shipped yaml); this framework implements the live =True layout
+        # (cur_box_point/cur_box_reflect/train_mask) only
+        raise NotImplementedError(
+            "RCNN.ROI_SAMPLE_JIT=False (legacy pre-pooled input layout) is "
+            "not supported; use the cur_box_point crop layout")
     return RCNNNet(
         mean_size=tuple(cfg.CLS_MEAN_SIZE[0]),
         xyz_up_layer=tuple(cfg.RCNN.XYZ_UP_LAYER),
@@ -308,5 +342,6 @@ def rcnn_from_config(cfg) -> RCNNNet:
         ioun_use_bn=cfg.IOUN.USE_BN,
         ioun_dp_ratio=cfg.IOUN.DP_RATIO,
         bq_chunk=cfg.TPU.BALL_QUERY_CHUNK,
+        attention=bool(cfg.ATTENTION),
         dtype=_compute_dtype(cfg),
     )
