@@ -38,11 +38,19 @@ def test_full_public_flow_on_kitti_files(tmp_path):
 
     root = str(tmp_path / "kitti")
     out = str(tmp_path / "out")
-    src = SyntheticKitti(num_scenes=10, points_per_scene=2500, seed=21)
+    # realistic mode: non-identity calibration (velodyne bins in the true
+    # lidar frame, offset principal point), occ/trunc difficulty spread,
+    # Van + DontCare labels — every CLI below must survive real-KITTI-shaped
+    # inputs, not just the identity fixture
+    src = SyntheticKitti(num_scenes=10, points_per_scene=2500, seed=21,
+                         realistic=True)
     scenes = [src.get_scene(i, with_noise=True) for i in range(10)]
     write_kitti_tree(root, scenes, split="train", write_noise=False,
                      extra_splits=[("val", [8, 9]),
                                    ("small_val", [8, 9])])
+    levels = {o.level for s in scenes for o in s.labels
+              if o.cls_type == "Car"}
+    assert {1, 2, 3} <= levels     # all difficulties present in the tree
 
     # 1. annotate: BEV clicks -> label_w + the label_noise bridge
     _run([os.path.join(TOOLS, "annotate.py"), "--data_root", root,
@@ -78,18 +86,26 @@ def test_full_public_flow_on_kitti_files(tmp_path):
     assert {"cur_box_point", "cur_prob_mask", "gt_mask",
             "foreground_flag"} <= set(db[0])
 
-    # 4. stage-2 training from the database
+    # 4. stage-2 training from the database: RCNN, then the IOUN cascade
+    #    stage warm-started from it (train_cascade x2, reference README flow)
     _run([os.path.join(TOOLS, "train_cascade.py"), "--stage", "rcnn",
           "--db", os.path.join(out, "boxes.pkl"), "--cpu", "--steps", "4",
           "--batch", "4", "--npoints", "128", "--val_ratio", "0",
           "--output_dir", os.path.join(out, "rcnn")], cwd=TOOLS)
     rcnn_ckpt = os.path.join(out, "rcnn", "rcnn_ckpt")
     assert os.path.isdir(rcnn_ckpt)
+    _run([os.path.join(TOOLS, "train_cascade.py"), "--stage", "ioun",
+          "--db", os.path.join(out, "boxes.pkl"), "--cpu", "--steps", "4",
+          "--batch", "4", "--npoints", "128", "--val_ratio", "0",
+          "--ckpt", rcnn_ckpt,
+          "--output_dir", os.path.join(out, "ioun")], cwd=TOOLS)
+    ioun_ckpt = os.path.join(out, "ioun", "ioun_ckpt")
+    assert os.path.isdir(ioun_ckpt)
 
     # 5. two-stage eval: KITTI txt dump + official AP harness + recall tally
     log3 = _run([os.path.join(TOOLS, "eval_auto.py"), "--data_root", root,
                  "--cpu", "--scenes", "3", "--points", "512",
-                 "--ckpt", rcnn_ckpt, "--rpn_ckpt", rpn_ckpt,
+                 "--ckpt", ioun_ckpt, "--rpn_ckpt", rpn_ckpt,
                  "--output_dir", os.path.join(out, "eval")], cwd=TOOLS)
     assert "Car 3D AP e/m/h" in log3
     assert "total bbox recall" in log3

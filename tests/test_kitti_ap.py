@@ -126,3 +126,65 @@ def test_anno_parsing_roundtrip():
     objs = [Object3d.from_line(line)]
     annos = annos_from_objects([objs])
     assert annos[0]["score"][0] == -1.0
+
+
+def test_difficulty_ordering_dontcare_van_aos_realistic():
+    """Realistic fixture through the FULL file path: write a KITTI tree
+    (non-identity calib, occ/trunc spanning all difficulties, Vans,
+    DontCare), read labels back, dump near-perfect Car detections via
+    save_kitti_format, and assert on the official harness output:
+    easy >= moderate >= hard AP, AOS > 0 (and <= bbox AP), detections on
+    Vans ignored (no FP), DontCare regions ignored."""
+    import tempfile, os
+    from ws3d_tpu.datasets import SyntheticKitti
+    from ws3d_tpu.datasets.kitti_io import (KittiRaw, save_kitti_format,
+                                            write_kitti_tree)
+    from ws3d_tpu.eval import annos_from_objects, get_official_eval_result
+    from ws3d_tpu.eval.kitti_ap import get_label_anno
+
+    src = SyntheticKitti(num_scenes=64, points_per_scene=600, seed=11,
+                         realistic=True)
+    scenes = [src.get_scene(i) for i in range(64)]
+    with tempfile.TemporaryDirectory() as tmp:
+        root = os.path.join(tmp, "kitti")
+        write_kitti_tree(root, scenes, split="val", write_noise=False)
+        raw = KittiRaw(root, split="val")
+        gt_frames, dt_annos = [], []
+        det_dir = os.path.join(tmp, "det")
+        rng = np.random.RandomState(0)
+        for i, sid in enumerate(raw.sample_ids):
+            scene = raw.get_scene(sid)
+            gt_frames.append(scene.labels)
+            # detect every Car AND Van (similar-type dets must not be FPs)
+            boxes = np.array(
+                [[o.pos[0], o.pos[1], o.pos[2], o.h, o.w, o.l, o.ry]
+                 for o in scene.labels if o.cls_type in ("Car", "Van")],
+                np.float32).reshape(-1, 7)
+            boxes[:, 0:3] += rng.randn(*boxes[:, 0:3].shape) * 0.02
+            save_kitti_format(sid, scene.calib, boxes, det_dir,
+                              scores=np.linspace(0.9, 0.5, len(boxes)),
+                              img_shape=scene.image_shape)
+            dt_annos.append(get_label_anno(
+                os.path.join(det_dir, "%06d.txt" % sid)))
+        gt_annos = annos_from_objects(gt_frames)
+        # gt trees carry all three difficulties + DontCare + Van
+        names = np.concatenate([a["name"] for a in gt_annos])
+        assert {"Car", "Van", "DontCare"} <= set(names.tolist())
+        levels = [o.level for f in gt_frames for o in f
+                  if o.cls_type == "Car"]
+        assert {1, 2, 3} <= set(levels)
+
+        result, ret = get_official_eval_result(gt_annos, dt_annos, "Car")
+        d3 = [ret["Car_3d_easy"], ret["Car_3d_moderate"], ret["Car_3d_hard"]]
+        bbox = [ret["Car_image_easy"], ret["Car_image_moderate"],
+                ret["Car_image_hard"]]
+        aos = [ret["Car_aos_easy"], ret["Car_aos_moderate"],
+               ret["Car_aos_hard"]]
+        # near-perfect dets on correctly-bucketed gt: high AP everywhere,
+        # difficulty-ordered
+        assert d3[0] >= d3[1] >= d3[2] - 1e-6, d3
+        assert bbox[0] >= bbox[1] >= bbox[2] - 1e-6, bbox
+        assert d3[0] > 80 and bbox[2] > 80, (d3, bbox)
+        # save_kitti_format's alpha is AOS-consistent with the gt alpha
+        assert "aos" in result and aos[0] > 80
+        assert all(a <= b + 1e-6 for a, b in zip(aos, bbox)), (aos, bbox)

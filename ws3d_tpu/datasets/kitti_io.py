@@ -58,6 +58,33 @@ class Calibration:
         return cls(P2, np.eye(3, dtype=np.float32),
                    np.hstack([np.eye(3), np.zeros((3, 1))]).astype(np.float32))
 
+    @classmethod
+    def realistic(cls) -> "Calibration":
+        """Real-KITTI-style calibration (the public devkit example values):
+        offset principal point, camera baseline in P2[:, 3], a non-identity
+        R0 rectification rotation and the velodyne->camera axis swap. Used
+        by the realistic fixture mode so the real-data code paths
+        (lidar_to_rect, rect_to_img, img_to_rect with tx/ty) are exercised
+        with non-trivial transforms."""
+        P2 = np.array([[721.5377, 0.0, 609.5593, 44.85728],
+                       [0.0, 721.5377, 172.854, 0.2163791],
+                       [0.0, 0.0, 1.0, 0.002745884]], np.float32)
+        R0 = np.array([[0.9999239, 0.00983776, -0.007445048],
+                       [-0.009869795, 0.9999421, -0.004278459],
+                       [0.007402527, 0.004351614, 0.9999631]], np.float32)
+        V2C = np.array([[0.007533745, -0.9999714, -0.000616602, -0.004069766],
+                        [0.01480249, 0.000728073, -0.9998902, -0.07631618],
+                        [0.9998621, 0.00752379, 0.01480755, -0.2717806]],
+                       np.float32)
+        return cls(P2, R0, V2C)
+
+    def rect_to_lidar(self, pts_rect: np.ndarray) -> np.ndarray:
+        """Inverse of lidar_to_rect (for synthesizing velodyne bins from a
+        rect-frame scene)."""
+        cam = pts_rect @ np.linalg.inv(self.R0).T
+        R, t = self.V2C[:, :3], self.V2C[:, 3]
+        return (cam - t) @ np.linalg.inv(R).T
+
     @staticmethod
     def _hom(pts: np.ndarray) -> np.ndarray:
         return np.hstack((pts, np.ones((pts.shape[0], 1), dtype=np.float32)))

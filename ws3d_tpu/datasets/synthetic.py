@@ -64,29 +64,65 @@ class SyntheticKitti:
 
     def __init__(self, num_scenes: int = 64, max_cars: int = 6,
                  points_per_scene: int = 18000, seed: int = 0,
-                 click_noise: float = 0.2):
+                 click_noise: float = 0.2, realistic: bool = False):
+        """realistic=True exercises the real-data code paths the identity
+        fixture cannot: non-identity calibration (offset principal point,
+        R0 rotation, velodyne axis swap — velodyne bins live in the TRUE
+        lidar frame), per-object occlusion/truncation spanning all three
+        KITTI difficulties, Van objects (similar-type handling) and
+        DontCare regions."""
         self.num_scenes = num_scenes
         self.max_cars = max_cars
         self.points_per_scene = points_per_scene
         self.seed = seed
         self.click_noise = click_noise
+        self.realistic = realistic
         self.sample_ids = list(range(num_scenes))
+
+    # (occlusion, truncation) cycle covering easy / moderate / hard gt
+    _DIFF_CYCLE = ((0, 0.0), (1, 0.2), (2, 0.45), (0, 0.1), (0, 0.0))
 
     def get_scene(self, sample_id: int, with_noise: bool = True) -> KittiScene:
         rng = np.random.RandomState(self.seed * 100003 + sample_id)
         n_cars = rng.randint(1, self.max_cars + 1)
         boxes = []
-        for _ in range(n_cars):
+        classes: List[str] = []
+        occ_trunc = []
+        for k in range(n_cars):
             hwl = CAR_MEAN_HWL * (1 + rng.randn(3) * 0.05)
-            x = rng.uniform(-20, 20)
-            z = rng.uniform(8, 60)
+            cls_name = "Car"
+            if self.realistic:
+                # keep objects inside the camera FOV wedge; spread depth so
+                # 2D box heights cross the 40/25 px difficulty edges, and
+                # make one object per few scenes a Van (similar type).
+                # Depth is near-biased (sqrt of uniform) like real KITTI —
+                # without it the easy bucket (height>=40px needs z<~28 m)
+                # is so small that the official 41-point AP's
+                # thresholds-per-valid-gt cap artificially deflates easy AP
+                z = 8 + 58 * rng.rand() ** 2
+                x = rng.uniform(-0.55, 0.55) * z
+                if k > 0 and rng.rand() < 0.25:
+                    cls_name = "Van"
+                    hwl = hwl * np.array([1.45, 1.15, 1.3], np.float32)
+                occ_trunc.append(
+                    self._DIFF_CYCLE[(sample_id + k) % len(self._DIFF_CYCLE)])
+            else:
+                x = rng.uniform(-20, 20)
+                z = rng.uniform(8, 60)
+                occ_trunc.append((0, 0.0))
             ry = rng.uniform(-np.pi, np.pi)
             boxes.append(np.array([x, GROUND_Y, z, *hwl, ry], np.float32))
+            classes.append(cls_name)
 
         n_bg = self.points_per_scene - 300 * n_cars
         ground = np.empty((max(n_bg, 0), 3), np.float32)
-        ground[:, 0] = rng.uniform(-40, 40, ground.shape[0])
-        ground[:, 2] = rng.uniform(0.5, 70, ground.shape[0])
+        if self.realistic:
+            gz = rng.uniform(0.5, 70, ground.shape[0])
+            ground[:, 0] = rng.uniform(-0.7, 0.7, ground.shape[0]) * gz
+            ground[:, 2] = gz
+        else:
+            ground[:, 0] = rng.uniform(-40, 40, ground.shape[0])
+            ground[:, 2] = rng.uniform(0.5, 70, ground.shape[0])
         ground[:, 1] = GROUND_Y + rng.randn(ground.shape[0]) * 0.05
         # sprinkle some clutter poles/walls
         n_clutter = ground.shape[0] // 20
@@ -95,16 +131,19 @@ class SyntheticKitti:
         pieces = [ground] + [_car_surface_points(rng, b, 300) for b in boxes]
         pts_rect = np.concatenate(pieces, axis=0)
         intensity = rng.rand(pts_rect.shape[0], 1).astype(np.float32)
-        pts_lidar = np.hstack([pts_rect, intensity]).astype(np.float32)
+        calib = (Calibration.realistic() if self.realistic
+                 else Calibration.identity())
+        pts_vel = (calib.rect_to_lidar(pts_rect) if self.realistic
+                   else pts_rect)
+        pts_lidar = np.hstack([pts_vel, intensity]).astype(np.float32)
 
         labels: List[Object3d] = []
         noise_labels: List[Object3d] = []
-        calib = Calibration.identity()
-        for b in boxes:
+        for b, cls_name, (occ, trunc) in zip(boxes, classes, occ_trunc):
             corners = _corners3d_np(b)
             img_boxes, _ = calib.corners3d_to_img_boxes(corners[None])
             box2d = img_boxes[0].astype(np.float32)
-            obj = Object3d(cls_type="Car", trucation=0.0, occlusion=0.0,
+            obj = Object3d(cls_type=cls_name, trucation=trunc, occlusion=occ,
                            alpha=-np.arctan2(b[0], b[2]) + b[6],
                            box2d=box2d, h=b[3], w=b[4], l=b[5],
                            pos=b[0:3].copy(), ry=b[6])
@@ -113,9 +152,21 @@ class SyntheticKitti:
             nb[0] += rng.randn() * self.click_noise
             nb[2] += rng.randn() * self.click_noise
             noise_labels.append(Object3d(
-                cls_type="Car", trucation=0.0, occlusion=0.0, alpha=obj.alpha,
-                box2d=box2d, h=b[3], w=b[4], l=b[5], pos=nb[0:3].copy(),
-                ry=b[6]))
+                cls_type=cls_name, trucation=trunc, occlusion=occ,
+                alpha=obj.alpha, box2d=box2d, h=b[3], w=b[4], l=b[5],
+                pos=nb[0:3].copy(), ry=b[6]))
+        if self.realistic:
+            # DontCare regions: 2D-only ignore boxes (KITTI -1/-1000 fields)
+            for _ in range(rng.randint(1, 3)):
+                u = rng.uniform(0, 1100)
+                v = rng.uniform(120, 250)
+                dc2d = np.array([u, v, u + rng.uniform(20, 80),
+                                 v + rng.uniform(10, 30)], np.float32)
+                labels.append(Object3d(
+                    cls_type="DontCare", trucation=-1.0, occlusion=-1.0,
+                    alpha=-10.0, box2d=dc2d, h=-1.0, w=-1.0, l=-1.0,
+                    pos=np.array([-1000.0, -1000.0, -1000.0], np.float32),
+                    ry=-10.0))
 
         return KittiScene(sample_id=sample_id, pts_lidar=pts_lidar,
                           calib=calib, image_shape=(375, 1242),
