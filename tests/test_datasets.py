@@ -124,3 +124,32 @@ def test_rpn_dataset_with_gt_aug():
     assert s["pts_input"].shape == (512, 4)
     # augmented scenes can exceed the original gt count
     assert s["gt_count"] >= 1
+
+
+def test_rpn_sample_z_sorted_and_labels_aligned():
+    """cfg.TPU.SORT_POINTS_Z: get_sample clouds arrive sorted ascending by
+    rect z (after aug), with labels computed post-sort (alignment check via
+    an EVAL-mode recompute)."""
+    from ws3d_tpu.config import load_config
+    from ws3d_tpu.datasets import SyntheticKitti, RPNDataset
+    from ws3d_tpu.datasets.rpn_dataset import box_rpn_labels
+
+    cfg = load_config()
+    src = SyntheticKitti(num_scenes=2, points_per_scene=3000, seed=0)
+    for mode in ("TRAIN", "EVAL"):
+        ds = RPNDataset(src, cfg, mode=mode, npoints=1024, seed=0)
+        s = ds.get_sample(0)
+        z = s["pts_input"][:, 2]
+        assert np.all(np.diff(z) >= 0), mode
+    # EVAL labels recomputed from the emitted cloud must match exactly
+    ds = RPNDataset(src, cfg, mode="EVAL", npoints=1024, seed=0)
+    s = ds.get_sample(0)
+    n_gt = int(s["gt_count"])
+    cls, _ = box_rpn_labels(s["pts_input"][:, :3], s["gt_boxes3d"][:n_gt])
+    np.testing.assert_array_equal(cls.astype(np.float32), s["rpn_cls_label"])
+    # off switch restores the legacy (unsorted) order
+    cfg2 = load_config()
+    cfg2.TPU.SORT_POINTS_Z = False
+    ds2 = RPNDataset(src, cfg2, mode="EVAL", npoints=1024, seed=0)
+    z2 = ds2.get_sample(0)["pts_input"][:, 2]
+    assert not np.all(np.diff(z2) >= 0)

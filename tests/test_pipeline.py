@@ -221,9 +221,13 @@ def test_whole_scene_sample_duplicate_padding():
     n = int(s["n_valid"])
     assert 0 < n <= 4096
     assert s["valid"][:n].all() and not s["valid"][n:].any()
-    # padded rows duplicate the head of the cloud (wraparound)
+    # padded rows duplicate the LAST row (keeps the z-sort invariant; the
+    # pre-SORT_POINTS_Z loader used head-wraparound)
     if n < 4096:
-        np.testing.assert_array_equal(s["pts_input"][n], s["pts_input"][0])
+        np.testing.assert_array_equal(s["pts_input"][n], s["pts_input"][n - 1])
+    # sorted ascending by rect z over the valid rows
+    z = s["pts_input"][:n, 2]
+    assert np.all(np.diff(z) >= 0)
     assert s["gt_boxes"].shape[1] == 7 and s["noise_boxes"].shape[1] == 7
 
 

@@ -187,6 +187,10 @@ class RPNDataset:
         self.mode = mode
         self.npoints = npoints or cfg.RPN.NUM_POINTS
         self.rng = np.random.RandomState(seed)
+        # cfg.TPU.SORT_POINTS_Z: emit clouds sorted ascending by rect z so
+        # backbone neighborhoods are contiguous index windows (the windowed
+        # fused-SA kernel's contract); labels are computed AFTER the sort
+        self.sort_z = bool(cfg.TPU.get("SORT_POINTS_Z", True))
         # (easy_db, hard_db) from gt_database.build_gt_database — enables the
         # copy-paste GT augmentation (cfg.GT_AUG_ENABLED)
         self.gt_database = gt_database
@@ -238,6 +242,8 @@ class RPNDataset:
                                    intensity[:, None]]).astype(np.float32)
         else:
             pts_input = pts_rect.astype(np.float32)
+        if self.sort_z:
+            pts_input = pts_input[np.argsort(pts_input[:, 2], kind="stable")]
 
         n = pts_input.shape[0]
         if max_points is not None:
@@ -248,7 +254,13 @@ class RPNDataset:
                 n = max_points
                 valid = np.ones(max_points, bool)
             else:
-                pts_input = pts_input[np.arange(max_points) % max(n, 1)]
+                if self.sort_z and n > 0:
+                    # repeat-LAST padding keeps the cloud z-sorted (the
+                    # wraparound pad would restart at min z)
+                    pad_idx = np.minimum(np.arange(max_points), n - 1)
+                else:
+                    pad_idx = np.arange(max_points) % max(n, 1)
+                pts_input = pts_input[pad_idx]
                 valid = np.zeros(max_points, bool)
                 valid[:n] = True
         else:
@@ -310,6 +322,10 @@ class RPNDataset:
                 method_prob=cfg.AUG_METHOD_PROB)
             pts_input = pts_input.copy()
             pts_input[:, :3] = aug_pts
+
+        if self.sort_z:
+            # after aug (rotation changes z); labels below stay aligned
+            pts_input = pts_input[np.argsort(pts_input[:, 2], kind="stable")]
 
         if self.mode == "TRAIN":
             cls_label, reg_label = gaussian_weak_labels(

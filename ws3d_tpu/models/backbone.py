@@ -24,6 +24,7 @@ class Pointnet2MSG(nn.Module):
     use_xyz: bool = True
     bq_chunk: int = 512
     nn_chunk: int = 2048
+    sorted_points: bool = False    # inputs z-sorted (cfg.TPU.SORT_POINTS_Z)
     dtype: Any = None
 
     @nn.compact
@@ -40,7 +41,8 @@ class Pointnet2MSG(nn.Module):
                 nsamples=list(self.sa_nsample[k]),
                 mlps=[list(m) for m in self.sa_mlps[k]],
                 use_xyz=self.use_xyz, use_bn=self.use_bn,
-                bq_chunk=self.bq_chunk, dtype=self.dtype, name=f"sa_{k}",
+                bq_chunk=self.bq_chunk, sorted_points=self.sorted_points,
+                dtype=self.dtype, name=f"sa_{k}",
             )(l_xyz[k], l_feats[k], train=train, bn_momentum=bn_momentum)
             l_xyz.append(new_xyz)
             l_feats.append(new_feats)

@@ -57,6 +57,12 @@ class PointnetSAModuleMSG(nn.Module):
     use_xyz: bool = True
     use_bn: bool = True
     bq_chunk: int = 512
+    # inputs are z-sorted along the point axis (cfg.TPU.SORT_POINTS_Z —
+    # guaranteed by the datasets): FPS picks are re-sorted ascending so the
+    # sorted invariant propagates to every level, and the first (small-C,
+    # large-N) stage runs the WINDOWED fused kernel instead of the
+    # pathological XLA row-gather (~11.5 ns/row regardless of width)
+    sorted_points: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -66,11 +72,14 @@ class PointnetSAModuleMSG(nn.Module):
         (new_xyz (B, npoint, 3) or None, new_features (B, npoint, sum(C_out)))."""
         if self.npoint is not None:
             idx = furthest_point_sample(xyz, self.npoint)
+            if self.sorted_points:
+                idx = jnp.sort(idx, axis=-1)
             new_xyz = gather_points(xyz, idx)
         else:
             new_xyz = None
 
-        use_fused = self._use_fused(xyz, features, train)
+        use_window = self._use_window(xyz, features, train)
+        use_fused = not use_window and self._use_fused(xyz, features, train)
         if self.npoint is not None and not use_fused:
             # one shared distance matrix across the radius scales
             idx_per_scale = ball_query_multi(
@@ -81,6 +90,17 @@ class PointnetSAModuleMSG(nn.Module):
         for i in range(len(self.radii)):
             mlp = SharedMLP(self.mlps[i], use_bn=self.use_bn,
                             dtype=self.dtype, name=f"mlp_{i}")
+            if use_window:
+                cin = features.shape[-1] + 3
+                _ = mlp(jnp.zeros((1, 1, 1, cin), xyz.dtype), train=train)
+                kernels, biases = folded_mlp_params(
+                    mlp, len(self.mlps[i]), self.use_bn)
+                from ws3d_tpu.ops.fused_sa_window_pallas import fused_sa_window
+                outs.append(fused_sa_window(
+                    xyz, features, new_xyz, float(self.radii[i]),
+                    int(self.nsamples[i]), kernels, biases,
+                    interpret=FORCE_FUSED_INTERPRET))
+                continue
             if use_fused:
                 # fully fused ball-query+gather+MLP+maxpool kernel: identical
                 # param tree — the dummy call materializes the params, whose
@@ -122,6 +142,26 @@ class PointnetSAModuleMSG(nn.Module):
         # tiny AND the point count is large (backbone SA-1: Cin=4,
         # P=16384) — keep the XLA gather there
         if features.shape[-1] + 3 < 32 and xyz.shape[1] > 1024:
+            return False
+        if FORCE_FUSED_INTERPRET:
+            return True
+        try:
+            return jax.default_backend() in ("tpu", "axon")
+        except Exception:                                    # pragma: no cover
+            return False
+
+    def _use_window(self, xyz, features, train) -> bool:
+        # the windowed kernel covers exactly the case _use_fused declines
+        # (tiny channel width x large point count — backbone SA-1), and
+        # additionally REQUIRES the z-sorted invariant
+        if (not self.sorted_points or self.npoint is None
+                or not self.use_xyz or features is None
+                or self.dtype not in (None, jnp.bfloat16)
+                or self.npoint % 8 != 0 or xyz.shape[1] % 128 != 0):
+            return False
+        if self.use_bn and train:
+            return False
+        if not (features.shape[-1] + 3 < 32 and xyz.shape[1] > 1024):
             return False
         if FORCE_FUSED_INTERPRET:
             return True

@@ -38,6 +38,7 @@ class RPN(nn.Module):
     dp_ratio: float = 0.5
     bq_chunk: int = 512
     nn_chunk: int = 2048
+    sorted_points: bool = False    # cfg.TPU.SORT_POINTS_Z: input z-sorted
     dtype: Any = None
 
     @nn.compact
@@ -50,6 +51,7 @@ class RPN(nn.Module):
             sa_nsample=self.sa_nsample, sa_mlps=self.sa_mlps,
             fp_mlps=self.fp_mlps, use_bn=self.use_bn,
             bq_chunk=self.bq_chunk, nn_chunk=self.nn_chunk,
+            sorted_points=self.sorted_points,
             dtype=self.dtype, name="backbone")(pts, train=train, bn_momentum=bn_momentum)
 
         rpn_cls = HeadMLP(
@@ -87,5 +89,6 @@ def rpn_from_config(cfg) -> RPN:
         dp_ratio=cfg.RPN.DP_RATIO,
         bq_chunk=cfg.TPU.BALL_QUERY_CHUNK,
         nn_chunk=cfg.TPU.THREE_NN_CHUNK,
+        sorted_points=bool(cfg.TPU.get("SORT_POINTS_Z", True)),
         dtype=_compute_dtype(cfg),
     )

@@ -1,0 +1,269 @@
+"""Windowed fused set-abstraction for Z-SORTED point clouds.
+
+The backbone's first SA stage (N=16384, M=4096, Cin=4) defeats both prior
+strategies: the XLA row-gather costs ~11.5 ns/row regardless of row width
+(measured: 3.1M rows -> 36 ms/batch-16), and the full-N selector matmul of
+``fused_sa_bq_pallas`` wastes 8-32x of the MXU on <32-wide outputs times all
+128 point tiles. This kernel exploits a *sorted* input instead: with points
+sorted ascending by z (rect depth) and the query tile's z-range known, every
+in-radius candidate lies in a contiguous run of point tiles
+
+    [t_start, t_end) = tiles overlapping [qz_min - r, qz_max + r]
+
+precomputed per query tile with two vectorized compare-counts in XLA. The
+kernel then runs the rank-search + selector-matmul + MLP + max-pool of the
+fused kernel but only over that run — a ``lax.fori_loop`` with *dynamic*
+bounds over dynamically indexed VMEM tiles (``pl.ds`` sublane slices). At
+KITTI-like densities that is ~4-8 of 128 tiles per query tile, cutting the
+selector FLOPs ~20-30x; the (B, M, S, C) grouped tensor never exists.
+
+Semantics stay CUDA-exact *for the sorted order* (first-nsample in ascending
+index order = ascending z, pad-with-first, point-0 row on empty —
+ball_query_gpu.cu:9-67, pointnet2_modules.py:19-55): ascending index within
+the window is ascending global index, and no in-radius point can live
+outside the window. The pad-with-first fix-up runs AFTER the selector loop
+(slots past the count matched nothing), which saves the second rank pass the
+full-N kernel needs.
+
+REQUIRES xyz (and new_xyz) sorted ascending along axis 1 by z. The datasets
+guarantee this under cfg.TPU.SORT_POINTS_Z; feeding unsorted points silently
+drops neighbors.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+LANE = 128
+
+
+def _kernel(S, radius, n_layers, qx_ref, qy_ref, qz_ref, ts_ref, te_ref,
+            px_ref, py_ref, pz_ref, comb_ref, w0xyz_ref, *wb_and_out):
+    w_refs = wb_and_out[:n_layers - 1]
+    b_refs = wb_and_out[n_layers - 1:2 * n_layers - 1]
+    out_ref = wb_and_out[2 * n_layers - 1]
+
+    MT = qx_ref.shape[2]
+    c0 = comb_ref.shape[3]
+    qx, qy, qz = qx_ref[0, 0], qy_ref[0, 0], qz_ref[0, 0]     # (MT, 1)
+    # ts/te arrive as the FULL (B, M/MT) array in SMEM (scalar blocks can't
+    # be tiled); pick this program's window by grid position
+    t_start = ts_ref[pl.program_id(0), pl.program_id(1)]
+    t_end = te_ref[pl.program_id(0), pl.program_id(1)]
+
+    li = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+    L128 = (lj <= li).astype(jnp.bfloat16).T                  # inclusive
+
+    s_col = jax.lax.broadcasted_iota(jnp.int32, (MT, S), 1)
+    target = (s_col + 1).astype(jnp.float32)                  # (MT, S)
+
+    def body(t, carry):
+        g, base = carry
+        px = px_ref[0, 0, pl.ds(t, 1), :]                     # (1, 128)
+        py = py_ref[0, 0, pl.ds(t, 1), :]
+        pz = pz_ref[0, 0, pl.ds(t, 1), :]
+        dx = qx - px
+        dy = qy - py
+        dz = qz - pz
+        d2 = dx * dx + dy * dy + dz * dz                      # (MT, 128)
+        in_ball = d2 < radius * radius
+        # inclusive prefix within the tile (counts <= 128: exact bf16 MXU)
+        prefix = jax.lax.dot_general(
+            in_ball.astype(jnp.bfloat16), L128, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (MT, 128)
+        rank = prefix + base                                  # (MT, 128) f32
+        sel = ((rank[:, None, :] == target[:, :, None])
+               & in_ball[:, None, :])                         # (MT, S, 128)
+        # comb0 is laid out (T, LANE, c0) so this dynamic slice selects a
+        # whole (LANE, c0) tile on a non-minor dim — slicing a flat
+        # (P, c0) at a dynamic sublane offset made mosaic materialize
+        # lane-padded rotation copies (~8 MB at P=16384) and OOM'd VMEM
+        comb_t = comb_ref[0, pl.ds(t, 1)][0]                  # (128, c0)
+        part = jax.lax.dot_general(
+            sel.astype(jnp.bfloat16).reshape(MT * S, LANE),
+            comb_t.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (MT*S, c0)
+        return g + part, base + prefix[:, LANE - 1:LANE]
+
+    g0 = jnp.zeros((MT * S, c0), jnp.float32)
+    base0 = jnp.zeros((MT, 1), jnp.float32)
+    g, count = jax.lax.fori_loop(t_start, t_end, body, (g0, base0))
+
+    # pad-with-first: slots past the in-radius count matched no rank — copy
+    # slot 0's gathered row; fully-empty centers take the GLOBAL point-0 row
+    g3 = g.reshape(MT, S, c0)
+    # float masks: mosaic can't insert a minor dim on i1 vectors
+    filled = (s_col.astype(jnp.float32)
+              < count).astype(jnp.float32)[:, :, None]        # (MT, S, 1)
+    g3 = g3 * filled + g3[:, 0:1, :] * (1.0 - filled)
+    emptyf = (count == 0.0).astype(jnp.float32)[:, :, None]   # (MT, 1, 1)
+    g3 = (g3 * (1.0 - emptyf)
+          + comb_ref[0, 0, 0:1, :][None].astype(jnp.float32) * emptyf)
+
+    # layer 0: g3 holds [xyz, feats] @ W0; fold the center-subtract into the
+    # bias (f32/HIGHEST — the xyz term carries absolute coordinates)
+    q = jnp.concatenate([qx, qy, qz], axis=1)                 # (MT, 3)
+    b_eff = b_refs[0][...] - jax.lax.dot_general(
+        q, w0xyz_ref[...], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)                   # (MT, c0)
+    h3 = jnp.maximum(g3 + b_eff[:, None, :], 0.0)
+    h = h3.reshape(MT * S, c0)
+    for l in range(n_layers - 1):
+        W = w_refs[l][...]
+        b = b_refs[l + 1][...]
+        c_out_l = W.shape[1]
+        z = jax.lax.dot_general(h.astype(jnp.bfloat16), W.astype(jnp.bfloat16),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        z3 = jnp.maximum(z.reshape(MT, S, c_out_l) + b[None, :, :], 0.0)
+        h = z3.reshape(MT * S, c_out_l)
+
+    out_ref[0, 0] = jnp.max(h.reshape(MT, S, -1), axis=1)     # (MT, c_out)
+
+
+def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels, biases,
+                    interpret=False):
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, P, _ = xyz.shape
+    M = new_xyz.shape[1]
+    S = int(nsample)
+    assert P % LANE == 0 and M % 8 == 0, (P, M)
+    T = P // LANE
+    n_layers = len(kernels)
+    c_out = kernels[-1].shape[1]
+    c0 = kernels[0].shape[1]
+
+    # layer-0 pre-activations (see fused_sa_bq_pallas._pallas_forward: the
+    # xyz term stays f32/HIGHEST because it cancels against the -q @ W0[:3]
+    # bias fold; the feature term runs at XLA's default bf16-multiply)
+    W0 = kernels[0].astype(jnp.float32)
+    comb0 = (jnp.einsum("bnc,cd->bnd", xyz.astype(jnp.float32), W0[:3],
+                        precision=jax.lax.Precision.HIGHEST)
+             + jnp.einsum("bnc,cd->bnd", features.astype(jnp.float32),
+                          W0[3:]))
+
+    # Query-tile size from the VMEM stack budget. The dominant loop-body
+    # intermediates are the (MT, S, 128) rank/selector broadcasts (~26
+    # bytes/element across the equality, mask, bf16 and f32 copies —
+    # MT=256, S=16 measured 16.25M against the 16M scoped limit), plus the
+    # block-constant comb0/coords (~double-buffered) outside the per-query
+    # term.
+    # (empirical: MT=128, S=16 still peaked at 16.12M — mosaic keeps many
+    # live copies of the loop-body broadcasts — so budget only 4M to the
+    # per-query term; the rest is comb0/coords double-buffering headroom)
+    per_q = S * LANE * 26 + max(c0, c_out) * 8
+    budget = max((4 * 1024 * 1024) // per_q, 8)
+    MT = 8
+    for cand in (256, 128, 64, 32, 16, 8):
+        if cand <= budget and M % cand == 0:
+            MT = cand
+            break
+
+    z_pts = xyz[..., 2].astype(jnp.float32)                    # (B, P) sorted
+    z_q = new_xyz[..., 2].astype(jnp.float32).reshape(B, M // MT, MT)
+    pz_min = z_pts.reshape(B, T, LANE)[:, :, 0]                # (B, T)
+    pz_max = z_pts.reshape(B, T, LANE)[:, :, LANE - 1]
+    q_lo = z_q[:, :, 0] - radius                               # (B, M/MT)
+    q_hi = z_q[:, :, MT - 1] + radius
+    t_start = jnp.sum(pz_max[:, None, :] < q_lo[:, :, None],
+                      axis=-1).astype(jnp.int32)               # (B, M/MT)
+    t_end = jnp.sum(pz_min[:, None, :] <= q_hi[:, :, None],
+                    axis=-1).astype(jnp.int32)
+
+    def coord(a, i, shape):
+        return a[..., i].astype(jnp.float32).reshape(shape)
+
+    px = coord(xyz, 0, (B, 1, T, LANE))
+    py = coord(xyz, 1, (B, 1, T, LANE))
+    pz = coord(xyz, 2, (B, 1, T, LANE))
+    qx = coord(new_xyz, 0, (B, M // MT, MT, 1))
+    qy = coord(new_xyz, 1, (B, M // MT, MT, 1))
+    qz = coord(new_xyz, 2, (B, M // MT, MT, 1))
+
+    qspec = pl.BlockSpec((1, 1, MT, 1), lambda b, m: (b, m, 0, 0),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((B, M // MT), lambda b, m: (0, 0),
+                         memory_space=pltpu.SMEM)
+    pspec = pl.BlockSpec((1, 1, T, LANE), lambda b, m: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((1, T, LANE, c0), lambda b, m: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    w0spec = pl.BlockSpec((3, c0), lambda b, m: (0, 0),
+                          memory_space=pltpu.VMEM)
+    wspecs = [pl.BlockSpec(k.shape, lambda b, m: (0, 0),
+                           memory_space=pltpu.VMEM) for k in kernels[1:]]
+    bspecs = [pl.BlockSpec((1, b_.shape[0]), lambda b, m: (0, 0),
+                           memory_space=pltpu.VMEM) for b_ in biases]
+    ospec = pl.BlockSpec((1, 1, MT, c_out), lambda b, m: (b, m, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    # mosaic's scoped-vmem accounting of the dynamic-bounds loop is ~16 MB
+    # nearly independent of MT (conservative stack sizing); raise the
+    # per-kernel cap — v5e has 128 MB physical VMEM and the real working
+    # set (comb block + per-tile buffers) is a few MB
+    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    out = pl.pallas_call(
+        functools.partial(_kernel, S, float(radius), n_layers),
+        grid=(B, M // MT),
+        in_specs=[qspec, qspec, qspec, sspec, sspec, pspec, pspec, pspec,
+                  cspec, w0spec] + wspecs + bspecs,
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((B, M // MT, MT, c_out), jnp.float32),
+        compiler_params=params,
+        interpret=interpret,
+    )(qx, qy, qz, t_start, t_end, px, py, pz,
+      comb0.reshape(B, T, LANE, c0),
+      kernels[0][:3].astype(jnp.float32),
+      *[k.astype(jnp.float32) for k in kernels[1:]],
+      *[b_.reshape(1, -1).astype(jnp.float32) for b_ in biases])
+    return out.reshape(B, M, c_out)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 7))
+def _fused(xyz, features, new_xyz, radius, nsample, kernels, biases,
+           interpret):
+    return _pallas_forward(xyz, features, new_xyz, radius, nsample,
+                           kernels, biases, interpret)
+
+
+def _fused_fwd(xyz, features, new_xyz, radius, nsample, kernels, biases,
+               interpret):
+    out = _pallas_forward(xyz, features, new_xyz, radius, nsample,
+                          kernels, biases, interpret)
+    return out, (xyz, features, new_xyz, kernels, biases)
+
+
+def _fused_bwd(radius, nsample, interpret, res, gout):
+    from ws3d_tpu.ops.fused_sa_bq_pallas import _xla_reference
+    xyz, features, new_xyz, kernels, biases = res
+    _, vjp = jax.vjp(
+        lambda x, f, q, ks, bs: _xla_reference(x, f, q, radius, nsample,
+                                               ks, bs),
+        xyz, features, new_xyz, tuple(kernels), tuple(biases))
+    dx, df, dq, dks, dbs = vjp(gout)
+    return dx, df, dq, dks, dbs
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_sa_window(xyz: jnp.ndarray, features: jnp.ndarray,
+                    new_xyz: jnp.ndarray, radius: float, nsample: int,
+                    kernels: Sequence[jnp.ndarray],
+                    biases: Sequence[jnp.ndarray],
+                    interpret: bool = False) -> jnp.ndarray:
+    """Differentiable wrapper: windowed Pallas forward, XLA backward.
+
+    xyz (B, P, 3) SORTED ascending by z, features (B, P, C), new_xyz
+    (B, M, 3) sorted ascending by z; kernels[0] (3+C, C0), ... ->
+    (B, M, C_last). Requires P % 128 == 0, M % 8 == 0.
+    """
+    return _fused(xyz, features, new_xyz, float(radius), int(nsample),
+                  tuple(kernels), tuple(biases), interpret)
