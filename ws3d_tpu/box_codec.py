@@ -12,12 +12,19 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 
 def _gather_last(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """x (..., K), idx (...) -> (...) pick along last axis."""
-    return jnp.take_along_axis(x, idx[..., None], axis=-1)[..., 0]
+    """x (..., K), idx (...) -> (...) pick along last axis.
+
+    One-hot masked sum, NOT take_along_axis: the bin axes here are 10-12
+    wide, and take_along_axis on a small trailing axis lowers to dynamic
+    lane gathers (measured 8.3 ms of the 16x16384 RPN decode — the whole
+    rest of rpn_propose is ~0.4 ms). The masked sum is pure VPU."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.sum(jnp.where(iota == idx[..., None], x, 0), axis=-1)
 
 
 def decode_center(roi_center: jnp.ndarray, pred_reg: jnp.ndarray,
