@@ -31,7 +31,7 @@ def _mlp(rng, cin, widths):
     return kernels, biases
 
 
-def _run(xyz, feats, new_xyz, radius, S, kernels, biases):
+def _run(xyz, feats, new_xyz, radius, S, kernels, biases, atol=2e-2):
     ref = _xla_reference(jnp.asarray(xyz), jnp.asarray(feats),
                          jnp.asarray(new_xyz), radius, S,
                          [jnp.asarray(k) for k in kernels],
@@ -41,7 +41,7 @@ def _run(xyz, feats, new_xyz, radius, S, kernels, biases):
                           [jnp.asarray(k) for k in kernels],
                           [jnp.asarray(b) for b in biases], interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               atol=2e-2, rtol=2e-2)
+                               atol=atol, rtol=2e-2)
 
 
 @pytest.mark.parametrize("radius,S", [(0.5, 16), (1.5, 32)])
@@ -63,6 +63,21 @@ def test_window_parity_clustered_density():
     new_xyz = xyz[:, qidx]
     kernels, biases = _mlp(rng, 3 + C, [16, 32])
     _run(xyz, feats, new_xyz, 0.4, 16, kernels, biases)
+
+
+def test_window_parity_trunk_shape():
+    """Stage-2 crop shape (P=512, M=256, wide C): MTsub=64 with n_sub=4
+    query subtiles per program — the in-program windowing path the RCNN
+    trunk dispatches to."""
+    rng = np.random.RandomState(7)
+    B, P, M, C = 3, 512, 256, 128
+    xyz, feats = _sorted_cloud(rng, B, P, C, spread=1.5, cluster=True)
+    qidx = np.sort(rng.choice(P, M, replace=False))
+    new_xyz = xyz[:, qidx]
+    kernels, biases = _mlp(rng, 3 + C, [32, 32])
+    # wide-C reductions make the kernel's bf16-multiplicand rounding larger
+    # than the narrow-C cases (reference composition is f32 on CPU)
+    _run(xyz, feats, new_xyz, 0.2, 16, kernels, biases, atol=5e-2)
 
 
 def test_window_empty_centers_take_point0():

@@ -61,6 +61,10 @@ class BoxPlaceDataset:
         self.cfg = cfg
         self.mode = mode
         self.npoints = npoints
+        # cfg.TPU.SORT_POINTS_Z: emit crops sorted ascending by z so the
+        # stage-2 SA stacks can dispatch the windowed fused kernel (same
+        # contract as RPNDataset scene clouds)
+        self.sort_z = bool(cfg.TPU.get("SORT_POINTS_Z", True))
         self.rng = np.random.RandomState(seed)
         entries = list(range(len(database)))
         if weakly_ratio is not None and mode == "TRAIN":
@@ -229,6 +233,11 @@ class BoxPlaceDataset:
             gt_box[6] = (gt_box[6] - noise_ry) % (2 * math.pi)
             if gt_box[6] > math.pi:
                 gt_box[6] -= 2 * math.pi
+
+        if self.sort_z:
+            order = np.argsort(pts[:, 2], kind="stable")
+            pts, reflect = pts[order], reflect[order]
+            prob_mask, gt_mask = prob_mask[order], gt_mask[order]
 
         sample = {
             "sample_id": np.int32(data.get("sample_id", 0)),

@@ -151,9 +151,13 @@ class PointnetSAModuleMSG(nn.Module):
             return False
 
     def _use_window(self, xyz, features, train) -> bool:
-        # the windowed kernel covers exactly the case _use_fused declines
-        # (tiny channel width x large point count — backbone SA-1), and
-        # additionally REQUIRES the z-sorted invariant
+        # the windowed kernel REQUIRES the z-sorted invariant; it wins in
+        # two measured regimes (BENCH.md round 3): (a) tiny channel width x
+        # large point count (backbone SA-1 — the case _use_fused declines),
+        # and (b) crop-scale stage-2 SA-1 (P=512, T=4: in-program query
+        # subtiles cut the VPU mask work ~3x at unchanged program count).
+        # T<4 leaves nothing to prune; large-P wide-C stages (backbone
+        # SA-2+) measured faster on the full fused kernel.
         if (not self.sorted_points or self.npoint is None
                 or not self.use_xyz or features is None
                 or self.dtype not in (None, jnp.bfloat16)
@@ -161,7 +165,10 @@ class PointnetSAModuleMSG(nn.Module):
             return False
         if self.use_bn and train:
             return False
-        if not (features.shape[-1] + 3 < 32 and xyz.shape[1] > 1024):
+        small_c_large_n = (features.shape[-1] + 3 < 32
+                           and xyz.shape[1] > 1024)
+        crop_scale = 256 <= xyz.shape[1] <= 1024
+        if not (small_c_large_n or crop_scale):
             return False
         if FORCE_FUSED_INTERPRET:
             return True

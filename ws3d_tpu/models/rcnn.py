@@ -65,6 +65,7 @@ class _SAStack(nn.Module):
     use_bn: bool = False
     bq_chunk: int = 512
     attention: bool = False  # cfg.ATTENTION (rcnn_net.py:276-283)
+    sorted_points: bool = False  # crops z-sorted (cfg.TPU.SORT_POINTS_Z)
     dtype: Any = None
 
     @nn.compact
@@ -77,6 +78,7 @@ class _SAStack(nn.Module):
                 npoint=npoint, radii=[float(self.radius[k])],
                 nsamples=[int(self.nsample[k])], mlps=[list(self.mlps[k])],
                 use_bn=self.use_bn, bq_chunk=self.bq_chunk, dtype=self.dtype,
+                sorted_points=self.sorted_points,
                 name=f"sa_{k}")(xyz, features, train=train,
                                 bn_momentum=bn_momentum)
         return features        # (B, 1, C_last)
@@ -113,6 +115,11 @@ class RCNNNet(nn.Module):
     ioun_dp_ratio: float = 0.0
     bq_chunk: int = 512
     attention: bool = False   # cfg.ATTENTION: context-attn before each SA
+    # crops arrive z-sorted (cfg.TPU.SORT_POINTS_Z, sorted by the crop
+    # producers: crop_for_rcnn_batched / BoxPlaceDataset) — lets the SA
+    # stacks dispatch the windowed fused kernel; the cascade re-sorts its
+    # canonicalized frame in-graph
+    sorted_points: bool = False
     dtype: Any = None
 
     @property
@@ -138,7 +145,7 @@ class RCNNNet(nn.Module):
             npoints=self.sa_npoints, radius=self.sa_radius,
             nsample=self.sa_nsample, mlps=self.sa_mlps, use_bn=self.use_bn,
             bq_chunk=self.bq_chunk, attention=self.attention,
-            dtype=self.dtype)
+            sorted_points=self.sorted_points, dtype=self.dtype)
         self.cls_head = HeadMLP(
             hidden=list(self.cls_fc), out_channels=1, use_bn=self.use_bn,
             dp_ratio=self.dp_ratio, dtype=self.dtype, kernel_init=XAVIER,
@@ -165,7 +172,8 @@ class RCNNNet(nn.Module):
                      radius=self.ioun_sa_radius,
                      nsample=self.ioun_sa_nsample, mlps=self.ioun_sa_mlps,
                      use_bn=self.ioun_use_bn, bq_chunk=self.bq_chunk,
-                     attention=self.attention, dtype=self.dtype)
+                     attention=self.attention,
+                     sorted_points=self.sorted_points, dtype=self.dtype)
             for _ in range(ncas)]
         self.iou_head = [
             HeadMLP(hidden=list(self.ioun_cls_fc), out_channels=1,
@@ -253,9 +261,24 @@ class RCNNNet(nn.Module):
             gate = jnp.max(jnp.abs(canon), axis=-1, keepdims=True) > EXTEND_FACTOR
             canon = jnp.where(gate, 0.0, canon)
 
+            stage_features = raw_features
+            if self.sorted_points:
+                # the y-rotation above mixes x/z, so the crop's z-order does
+                # not survive canonicalization — re-sort the 5 raw channels
+                # (per-point up/merge MLPs are permutation-equivariant, so
+                # sorting before them is equivalent) to restore the windowed
+                # kernel's invariant. Multi-operand lax.sort: argsort+take
+                # on the point axis lowers to dynamic row gathers.
+                z, x, y, rf, mk = jax.lax.sort(
+                    (canon[..., 2], canon[..., 0], canon[..., 1],
+                     raw_features[..., 0], raw_features[..., 1]),
+                    dimension=1, num_keys=1)
+                canon = jnp.stack([x, y, z], axis=-1)
+                stage_features = jnp.stack([rf, mk], axis=-1)
+
             c_xyz = self.can_xyz_up[c](canon, train=train,
                                        bn_momentum=bn_momentum)
-            c_feat = self.can_feature_up[c](raw_features, train=train,
+            c_feat = self.can_feature_up[c](stage_features, train=train,
                                             bn_momentum=bn_momentum)
             c_merged = self.can_merge_down[c](
                 jnp.concatenate([c_xyz, c_feat], axis=-1), train=train,
@@ -343,5 +366,6 @@ def rcnn_from_config(cfg) -> RCNNNet:
         ioun_dp_ratio=cfg.IOUN.DP_RATIO,
         bq_chunk=cfg.TPU.BALL_QUERY_CHUNK,
         attention=bool(cfg.ATTENTION),
+        sorted_points=bool(cfg.TPU.get("SORT_POINTS_Z", True)),
         dtype=_compute_dtype(cfg),
     )

@@ -41,58 +41,85 @@ from jax.experimental import pallas as pl
 LANE = 128
 
 
-def _kernel(S, radius, n_layers, qx_ref, qy_ref, qz_ref, ts_ref, te_ref,
-            px_ref, py_ref, pz_ref, comb_ref, w0xyz_ref, *wb_and_out):
+def _kernel(S, radius, n_layers, n_sub, qx_ref, qy_ref, qz_ref, ts_ref,
+            te_ref, px_ref, py_ref, pz_ref, comb_ref, w0xyz_ref,
+            *wb_and_out):
     w_refs = wb_and_out[:n_layers - 1]
     b_refs = wb_and_out[n_layers - 1:2 * n_layers - 1]
     out_ref = wb_and_out[2 * n_layers - 1]
 
     MT = qx_ref.shape[2]
+    MTsub = MT // n_sub
     c0 = comb_ref.shape[3]
-    qx, qy, qz = qx_ref[0, 0], qy_ref[0, 0], qz_ref[0, 0]     # (MT, 1)
-    # ts/te arrive as the FULL (B, M/MT) array in SMEM (scalar blocks can't
-    # be tiled); pick this program's window by grid position
-    t_start = ts_ref[pl.program_id(0), pl.program_id(1)]
-    t_end = te_ref[pl.program_id(0), pl.program_id(1)]
 
     li = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
     lj = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
     L128 = (lj <= li).astype(jnp.bfloat16).T                  # inclusive
 
+    s_sub = jax.lax.broadcasted_iota(jnp.int32, (MTsub, S), 1)
+    target = (s_sub + 1).astype(jnp.float32)                  # (MTsub, S)
+
+    # The MT queries are processed as n_sub SUBTILES, each with its own
+    # dynamic [t_start, t_end) window: window tightness is set by the query
+    # subtile's z-extent, but grid-program count (and its ~2 us switch cost
+    # + per-program setup) is paid per MT. At trunk shapes (P=512, M=256)
+    # one program per crop with n_sub=4 beats both the full-N fused kernel
+    # (4x the mask work) and per-subtile grid programs (4x the switches) —
+    # measured in BENCH.md round 3.
+    g_parts, cnt_parts = [], []
+    for u in range(n_sub):
+        qx = qx_ref[0, 0, u * MTsub:(u + 1) * MTsub]          # (MTsub, 1)
+        qy = qy_ref[0, 0, u * MTsub:(u + 1) * MTsub]
+        qz = qz_ref[0, 0, u * MTsub:(u + 1) * MTsub]
+        # ts/te arrive as ONE batch row (1, 1, M/MTsub) in SMEM — the full
+        # (B, M/MTsub) array SMEM-padded to 128 B/row and blew the 1 MB
+        # SMEM budget at B=1024 (trunk crops); the leading singleton keeps
+        # the last two block dims equal to the array dims (mosaic's (8,128)
+        # rule); pick this subtile's window by the m grid axis
+        t_start = ts_ref[0, 0, pl.program_id(1) * n_sub + u]
+        t_end = te_ref[0, 0, pl.program_id(1) * n_sub + u]
+
+        def body(t, carry):
+            g, base = carry
+            px = px_ref[0, 0, pl.ds(t, 1), :]                 # (1, 128)
+            py = py_ref[0, 0, pl.ds(t, 1), :]
+            pz = pz_ref[0, 0, pl.ds(t, 1), :]
+            dx = qx - px
+            dy = qy - py
+            dz = qz - pz
+            d2 = dx * dx + dy * dy + dz * dz                  # (MTsub, 128)
+            in_ball = d2 < radius * radius
+            # inclusive prefix within the tile (counts <= 128: exact bf16)
+            prefix = jax.lax.dot_general(
+                in_ball.astype(jnp.bfloat16), L128,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (MTsub, 128)
+            rank = prefix + base                              # f32
+            sel = ((rank[:, None, :] == target[:, :, None])
+                   & in_ball[:, None, :])                     # (MTsub, S, 128)
+            # comb0 is laid out (T, LANE, c0) so this dynamic slice selects
+            # a whole (LANE, c0) tile on a non-minor dim — slicing a flat
+            # (P, c0) at a dynamic sublane offset made mosaic materialize
+            # lane-padded rotation copies (~8 MB at P=16384), OOMing VMEM
+            comb_t = comb_ref[0, pl.ds(t, 1)][0]              # (128, c0)
+            part = jax.lax.dot_general(
+                sel.astype(jnp.bfloat16).reshape(MTsub * S, LANE),
+                comb_t.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (MTsub*S, c0)
+            return g + part, base + prefix[:, LANE - 1:LANE]
+
+        g0 = jnp.zeros((MTsub * S, c0), jnp.float32)
+        base0 = jnp.zeros((MTsub, 1), jnp.float32)
+        g_u, cnt_u = jax.lax.fori_loop(t_start, t_end, body, (g0, base0))
+        g_parts.append(g_u.reshape(MTsub, S, c0))
+        cnt_parts.append(cnt_u)
+
+    g = (g_parts[0] if n_sub == 1
+         else jnp.concatenate(g_parts, axis=0)).reshape(MT * S, c0)
+    count = (cnt_parts[0] if n_sub == 1
+             else jnp.concatenate(cnt_parts, axis=0))         # (MT, 1)
+    qx, qy, qz = qx_ref[0, 0], qy_ref[0, 0], qz_ref[0, 0]     # (MT, 1)
     s_col = jax.lax.broadcasted_iota(jnp.int32, (MT, S), 1)
-    target = (s_col + 1).astype(jnp.float32)                  # (MT, S)
-
-    def body(t, carry):
-        g, base = carry
-        px = px_ref[0, 0, pl.ds(t, 1), :]                     # (1, 128)
-        py = py_ref[0, 0, pl.ds(t, 1), :]
-        pz = pz_ref[0, 0, pl.ds(t, 1), :]
-        dx = qx - px
-        dy = qy - py
-        dz = qz - pz
-        d2 = dx * dx + dy * dy + dz * dz                      # (MT, 128)
-        in_ball = d2 < radius * radius
-        # inclusive prefix within the tile (counts <= 128: exact bf16 MXU)
-        prefix = jax.lax.dot_general(
-            in_ball.astype(jnp.bfloat16), L128, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (MT, 128)
-        rank = prefix + base                                  # (MT, 128) f32
-        sel = ((rank[:, None, :] == target[:, :, None])
-               & in_ball[:, None, :])                         # (MT, S, 128)
-        # comb0 is laid out (T, LANE, c0) so this dynamic slice selects a
-        # whole (LANE, c0) tile on a non-minor dim — slicing a flat
-        # (P, c0) at a dynamic sublane offset made mosaic materialize
-        # lane-padded rotation copies (~8 MB at P=16384) and OOM'd VMEM
-        comb_t = comb_ref[0, pl.ds(t, 1)][0]                  # (128, c0)
-        part = jax.lax.dot_general(
-            sel.astype(jnp.bfloat16).reshape(MT * S, LANE),
-            comb_t.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (MT*S, c0)
-        return g + part, base + prefix[:, LANE - 1:LANE]
-
-    g0 = jnp.zeros((MT * S, c0), jnp.float32)
-    base0 = jnp.zeros((MT, 1), jnp.float32)
-    g, count = jax.lax.fori_loop(t_start, t_end, body, (g0, base0))
 
     # pad-with-first: slots past the in-radius count matched no rank — copy
     # slot 0's gathered row; fully-empty centers take the GLOBAL point-0 row
@@ -160,22 +187,31 @@ def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels, biases,
     # per-query term; the rest is comb0/coords double-buffering headroom)
     per_q = S * LANE * 26 + max(c0, c_out) * 8
     budget = max((4 * 1024 * 1024) // per_q, 8)
-    MT = 8
+    MTsub = 8
     for cand in (256, 128, 64, 32, 16, 8):
         if cand <= budget and M % cand == 0:
-            MT = cand
+            MTsub = cand
             break
+    # Program query block: n_sub window subtiles per grid program (window
+    # tightness follows MTsub; program-switch and per-program setup costs
+    # follow MT). Cap at 256 queries per program — larger blocks grow the
+    # post-loop (MT*S, c0) MLP intermediates past the VMEM comfort zone
+    # with no further switch-amortization win.
+    n_sub = 1
+    while (MTsub * n_sub * 2 <= 256 and M % (MTsub * n_sub * 2) == 0):
+        n_sub *= 2
+    MT = MTsub * n_sub
 
     z_pts = xyz[..., 2].astype(jnp.float32)                    # (B, P) sorted
-    z_q = new_xyz[..., 2].astype(jnp.float32).reshape(B, M // MT, MT)
+    z_q = new_xyz[..., 2].astype(jnp.float32).reshape(B, M // MTsub, MTsub)
     pz_min = z_pts.reshape(B, T, LANE)[:, :, 0]                # (B, T)
     pz_max = z_pts.reshape(B, T, LANE)[:, :, LANE - 1]
-    q_lo = z_q[:, :, 0] - radius                               # (B, M/MT)
-    q_hi = z_q[:, :, MT - 1] + radius
+    q_lo = z_q[:, :, 0] - radius                               # (B, M/MTsub)
+    q_hi = z_q[:, :, MTsub - 1] + radius
     t_start = jnp.sum(pz_max[:, None, :] < q_lo[:, :, None],
-                      axis=-1).astype(jnp.int32)               # (B, M/MT)
+                      axis=-1).astype(jnp.int32)[:, None]      # (B,1,M/MTsub)
     t_end = jnp.sum(pz_min[:, None, :] <= q_hi[:, :, None],
-                    axis=-1).astype(jnp.int32)
+                    axis=-1).astype(jnp.int32)[:, None]
 
     def coord(a, i, shape):
         return a[..., i].astype(jnp.float32).reshape(shape)
@@ -189,7 +225,7 @@ def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels, biases,
 
     qspec = pl.BlockSpec((1, 1, MT, 1), lambda b, m: (b, m, 0, 0),
                          memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((B, M // MT), lambda b, m: (0, 0),
+    sspec = pl.BlockSpec((1, 1, M // MTsub), lambda b, m: (b, 0, 0),
                          memory_space=pltpu.SMEM)
     pspec = pl.BlockSpec((1, 1, T, LANE), lambda b, m: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -210,7 +246,7 @@ def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels, biases,
     # set (comb block + per-tile buffers) is a few MB
     params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
     out = pl.pallas_call(
-        functools.partial(_kernel, S, float(radius), n_layers),
+        functools.partial(_kernel, S, float(radius), n_layers, n_sub),
         grid=(B, M // MT),
         in_specs=[qspec, qspec, qspec, sspec, sspec, pspec, pspec, pspec,
                   cspec, w0spec] + wspecs + bspecs,

@@ -125,13 +125,20 @@ LANE_ALIGN = 128
 
 
 def crop_for_rcnn_batched(pts_input: jnp.ndarray, scores_norm: jnp.ndarray,
-                          centers_xz: jnp.ndarray, num_sampled: int = 512):
+                          centers_xz: jnp.ndarray, num_sampled: int = 512,
+                          sort_z: bool = True):
     """Scene points (B, N, 3+) + proposal centers (B, K, 2) -> stage-2 crops.
 
     Matches eval_auto.py:323-367: y -= 1.65, 4 m BEV radius membership in
     point order, recenter x/z, reflect channel from pts_input[..., 3], mask
     channel = (rpn score > 0.5) - 0.5. The rank-search kernel runs once over
     the whole batch; the gather/recenter tail is per-scene XLA under vmap.
+
+    sort_z (cfg.TPU.SORT_POINTS_Z): re-sort each crop ascending by z — the
+    wrap_pad duplicates break the scene z-order the membership gather
+    inherits, and the stage-2 SA stacks need the sorted invariant for the
+    windowed fused kernel. Pure order permutation (multi-operand lax.sort —
+    argsort+take lowers to dynamic lane gathers, the round-2 NMS lesson).
 
     :return: dict(cur_box_point (B, K, S, 3), cur_box_reflect (B, K, S, 1),
                   train_mask (B, K, S, 1)), empty (B, K) bool
@@ -150,6 +157,14 @@ def crop_for_rcnn_batched(pts_input: jnp.ndarray, scores_norm: jnp.ndarray,
         crop_reflect = reflect[idx_s][..., None]
         crop_mask = ((sn_s[idx_s] > 0.5).astype(crop_xyz.dtype)[..., None]
                      - 0.5)
+        if sort_z:
+            z, x, y, rf, mk = jax.lax.sort(
+                (crop_xyz[..., 2], crop_xyz[..., 0], crop_xyz[..., 1],
+                 crop_reflect[..., 0], crop_mask[..., 0]),
+                dimension=1, num_keys=1)
+            crop_xyz = jnp.stack([x, y, z], axis=-1)
+            crop_reflect = rf[..., None]
+            crop_mask = mk[..., None]
         zero = empty_s[:, None, None]
         return {"cur_box_point": jnp.where(zero, 0.0, crop_xyz),
                 "cur_box_reflect": jnp.where(zero, 0.0, crop_reflect),
@@ -161,11 +176,13 @@ def crop_for_rcnn_batched(pts_input: jnp.ndarray, scores_norm: jnp.ndarray,
 
 
 def crop_for_rcnn(pts_input: jnp.ndarray, scores_norm: jnp.ndarray,
-                  centers_xz: jnp.ndarray, num_sampled: int = 512):
+                  centers_xz: jnp.ndarray, num_sampled: int = 512,
+                  sort_z: bool = True):
     """Single-scene wrapper of crop_for_rcnn_batched (shapes without the
     leading batch axis)."""
     crops, empty = crop_for_rcnn_batched(pts_input[None], scores_norm[None],
-                                         centers_xz[None], num_sampled)
+                                         centers_xz[None], num_sampled,
+                                         sort_z=sort_z)
     return jax.tree_util.tree_map(lambda a: a[0], crops), empty[0]
 
 
@@ -276,8 +293,9 @@ def make_two_stage_fn(model, cfg, num_points: int = 512,
         centers, prop_scores, valid = jax.vmap(propose)(
             rpn_out["rpn_cls"], rpn_out["rpn_reg"], rpn_out["backbone_xyz"])
         scores_norm = jax.nn.sigmoid(rpn_out["rpn_cls"][..., 0])
-        crops, empty = crop_for_rcnn_batched(pts_input, scores_norm, centers,
-                                             num_sampled=num_points)
+        crops, empty = crop_for_rcnn_batched(
+            pts_input, scores_norm, centers, num_sampled=num_points,
+            sort_z=bool(cfg.TPU.get("SORT_POINTS_Z", True)))
         live = valid & ~empty
         flat = jax.tree_util.tree_map(
             lambda a: a.reshape((B * K,) + a.shape[2:]), crops)
