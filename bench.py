@@ -26,7 +26,7 @@ import time
 
 import numpy as np
 
-BATCH = 16         # scenes per device batch
+BATCH = int(os.environ.get("WS3D_BENCH_BATCH", 16))  # scenes per device batch
 NBUF = 3           # distinct input batches cycled through the run
 WARMUP = 2
 ITERS = 12

@@ -1,6 +1,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from ws3d_tpu.ops.sampling import furthest_point_sample, gather_points
 from ws3d_tpu.ops.grouping import ball_query, group_points, query_and_group, group_all
@@ -171,6 +172,47 @@ def test_fused_interpolate_pallas_parity(rng):
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
 
+def _sorted_pair(rng, B, n, m, C, spread=3.0, cluster=False):
+    unknown = rng.randn(B, n, 3).astype(np.float32) * spread
+    known = rng.randn(B, m, 3).astype(np.float32) * spread
+    if cluster:
+        known[:, : m // 2, 2] = rng.randn(B, m // 2).astype(np.float32) * 0.2
+        unknown[:, : n // 2, 2] = rng.randn(B, n // 2).astype(np.float32) * 0.2
+    unknown = unknown[np.arange(B)[:, None],
+                      np.argsort(unknown[..., 2], axis=1)]
+    known = known[np.arange(B)[:, None], np.argsort(known[..., 2], axis=1)]
+    feats = rng.randn(B, m, C).astype(np.float32)
+    return (jnp.asarray(unknown), jnp.asarray(known), jnp.asarray(feats))
+
+
+@pytest.mark.parametrize("cluster", [False, True])
+def test_windowed_interpolate_parity(rng, cluster):
+    """Ring-search windowed 3-NN+interpolate (interpret mode) vs the XLA
+    composition on z-sorted clouds — exactness of the early-exit rule."""
+    from ws3d_tpu.ops.three_nn_pallas import three_interpolate_window_pallas
+    from ws3d_tpu.ops.interpolate import _interpolate_xla
+
+    unknown, known, feats = _sorted_pair(rng, 2, 256, 512, 16,
+                                         cluster=cluster)
+    got = np.asarray(three_interpolate_window_pallas(unknown, known, feats,
+                                                     interpret=True))
+    want = np.asarray(_interpolate_xla(unknown, known, feats))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_windowed_interpolate_far_queries(rng):
+    """Queries far outside the known z-range force long one-sided rings."""
+    from ws3d_tpu.ops.three_nn_pallas import three_interpolate_window_pallas
+    from ws3d_tpu.ops.interpolate import _interpolate_xla
+
+    unknown, known, feats = _sorted_pair(rng, 1, 64, 256, 8)
+    unknown = unknown + jnp.asarray([0.0, 0.0, 30.0])  # all beyond known z
+    got = np.asarray(three_interpolate_window_pallas(unknown, known, feats,
+                                                     interpret=True))
+    want = np.asarray(_interpolate_xla(unknown, known, feats))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
 def test_fused_interpolate_grad_path(rng):
     """jax.grad through interpolate_features uses the XLA-composition VJP."""
     from ws3d_tpu.ops.interpolate import (_interpolate_fused,
@@ -181,7 +223,8 @@ def test_fused_interpolate_grad_path(rng):
     feats = jnp.asarray(rng.randn(1, 128, 4).astype(np.float32))
 
     g_fused = jax.grad(
-        lambda f: jnp.sum(_interpolate_fused(unknown, known, f, True)))(feats)
+        lambda f: jnp.sum(_interpolate_fused(unknown, known, f, True,
+                                             False)))(feats)
     g_xla = jax.grad(
         lambda f: jnp.sum(_interpolate_xla(unknown, known, f)))(feats)
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_xla),

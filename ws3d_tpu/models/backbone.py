@@ -49,6 +49,13 @@ class Pointnet2MSG(nn.Module):
 
         n_fp = len(self.fp_mlps)
         for i in range(n_fp - 1, -1, -1):
+            # NOTE: sorted_points is deliberately NOT forwarded — the
+            # ring-search windowed 3-NN (three_interpolate_window_pallas)
+            # measured SLOWER than the dense fused kernel at every FP shape
+            # (FP1 14.2 vs 10.4 ms, B=16; see BENCH.md round-3 journal):
+            # with no radius to bound the window, the per-tile top-3
+            # insertion logic costs more VPU ops than the skipped distance
+            # tiles save.
             l_feats[i] = PointnetFPModule(
                 mlp=list(self.fp_mlps[i]), use_bn=self.use_bn,
                 nn_chunk=self.nn_chunk, dtype=self.dtype, name=f"fp_{i}",

@@ -195,6 +195,9 @@ class PointnetFPModule(nn.Module):
     mlp: Sequence[int]
     use_bn: bool = True
     nn_chunk: int = 2048
+    # both levels z-sorted (cfg.TPU.SORT_POINTS_Z scene clouds + the SA
+    # modules' sorted FPS picks): dispatch the ring-search windowed 3-NN
+    sorted_points: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -204,7 +207,8 @@ class PointnetFPModule(nn.Module):
                  bn_momentum=0.1) -> jnp.ndarray:
         if known is not None:
             interp = interpolate_features(unknown, known, known_feats,
-                                          chunk=self.nn_chunk)
+                                          chunk=self.nn_chunk,
+                                          sorted_z=self.sorted_points)
         else:
             interp = jnp.broadcast_to(
                 known_feats, (known_feats.shape[0], unknown.shape[1],

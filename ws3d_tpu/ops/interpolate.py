@@ -81,19 +81,24 @@ def _interpolate_xla(unknown, known, known_feats, chunk=2048,
     return three_interpolate(known_feats, idx, weight)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _interpolate_fused(unknown, known, known_feats, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _interpolate_fused(unknown, known, known_feats, interpret, sorted_z):
+    if sorted_z:
+        from ws3d_tpu.ops.three_nn_pallas import (
+            three_interpolate_window_pallas)
+        return three_interpolate_window_pallas(unknown, known, known_feats,
+                                               interpret=interpret)
     from ws3d_tpu.ops.three_nn_pallas import three_interpolate_pallas
     return three_interpolate_pallas(unknown, known, known_feats,
                                     interpret=interpret)
 
 
-def _interpolate_fused_fwd(unknown, known, known_feats, interpret):
-    out = _interpolate_fused(unknown, known, known_feats, interpret)
+def _interpolate_fused_fwd(unknown, known, known_feats, interpret, sorted_z):
+    out = _interpolate_fused(unknown, known, known_feats, interpret, sorted_z)
     return out, (unknown, known, known_feats)
 
 
-def _interpolate_fused_bwd(interpret, res, gout):
+def _interpolate_fused_bwd(interpret, sorted_z, res, gout):
     unknown, known, known_feats = res
     _, vjp = jax.vjp(
         lambda u, k, f: _interpolate_xla(u, k, f, force_xla_nn=True),
@@ -105,15 +110,20 @@ _interpolate_fused.defvjp(_interpolate_fused_fwd, _interpolate_fused_bwd)
 
 
 def interpolate_features(unknown: jnp.ndarray, known: jnp.ndarray,
-                         known_feats: jnp.ndarray, chunk: int = 2048) -> jnp.ndarray:
+                         known_feats: jnp.ndarray, chunk: int = 2048,
+                         sorted_z: bool = False) -> jnp.ndarray:
     """Full FP interpolation step (pointnet2_modules.py:138-144):
     inverse-squared-distance weighted 3-NN interpolation.
 
     On TPU with aligned shapes this runs as ONE fused Pallas kernel (3-NN
     search + dense-weight MXU interpolation) — the separate three_nn +
     XLA row-gather path moves ~150 MB of gathered features per FP-1 call.
+    With sorted_z (both clouds z-ascending, cfg.TPU.SORT_POINTS_Z) the
+    ring-search windowed variant replaces the dense (n, m) distance/weight
+    blocks with the ~3-5 known tiles each query tile actually needs.
     Backward falls back to the XLA composition (jax.custom_vjp)."""
     from ws3d_tpu.ops.grouping import _use_pallas
     if _use_pallas(known.shape[1], unknown.shape[1]):
-        return _interpolate_fused(unknown, known, known_feats, False)
+        return _interpolate_fused(unknown, known, known_feats, False,
+                                  bool(sorted_z))
     return _interpolate_xla(unknown, known, known_feats, chunk=chunk)

@@ -13,6 +13,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 LANE = 128
 
@@ -91,6 +92,191 @@ def _interp_kernel(m_total, qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
         W.astype(jnp.bfloat16), feat_ref[0].astype(jnp.bfloat16),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                  # (MT, C)
+
+
+def _window_interp_kernel(T2, n_sub, qx_ref, qy_ref, qz_ref, h_ref,
+                          pzlo_ref, pzhi_ref, px_ref, py_ref, pz_ref,
+                          feat_ref, out_ref):
+    """Exact 3-NN + interpolation for Z-SORTED unknown AND known clouds.
+
+    Per query subtile: merge the HOME known-tile first — its per-query
+    3rd-best d2 is a provable upper bound D^2 on the true 3rd-NN distance
+    (the home tile has >= 3 candidates), so every true neighbor lies in
+    z-window +-D and the exact tile range [t_lo, t_hi) is computed ONCE
+    from the SMEM tile z-bounds. Two clean dynamic-bounds fori loops (no
+    per-iteration conds/reductions — a per-ring-step lax.cond + jnp.max
+    variant measured 12x SLOWER than the dense kernel: Mosaic serializes
+    the scalar sync) then merge the remaining tiles and accumulate the
+    3-sparse weight-matmul per tile. Replaces the dense (MT, m) distance
+    block + 3 full-width min passes and the dense (MT, m) @ (m, C) weight
+    matmul with the ~3-6 tiles each subtile actually needs. Semantics stay
+    CUDA-exact in the sorted order (running top-3, lowest index wins ties —
+    interpolate_gpu.cu:30-49)."""
+    MT = qx_ref.shape[2]
+    MTsub = MT // n_sub
+    C = feat_ref.shape[3]
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (MTsub, LANE), 1)
+    LARGE = jnp.int32(1 << 30)
+    inf1 = jnp.full((MTsub, 1), jnp.inf, jnp.float32)
+    large1 = jnp.full((MTsub, 1), LARGE, jnp.int32)
+
+    for u in range(n_sub):
+        qx = qx_ref[0, 0, u * MTsub:(u + 1) * MTsub]          # (MTsub, 1)
+        qy = qy_ref[0, 0, u * MTsub:(u + 1) * MTsub]
+        qz = qz_ref[0, 0, u * MTsub:(u + 1) * MTsub]
+        h = h_ref[0, 0, pl.program_id(1) * n_sub + u]
+        q_lo = qz[0, 0]
+        q_hi = qz[MTsub - 1, 0]
+
+        def merge_tile(t, carry):
+            d0, i0, d1, i1, d2c, i2 = carry
+            px = px_ref[0, 0, pl.ds(t, 1), :]                 # (1, 128)
+            py = py_ref[0, 0, pl.ds(t, 1), :]
+            pz = pz_ref[0, 0, pl.ds(t, 1), :]
+            dx = qx - px
+            dy = qy - py
+            dz = qz - pz
+            d2t = dx * dx + dy * dy + dz * dz                 # (MTsub, 128)
+            colg = iota + t * LANE
+            cur = d2t
+            for _ in range(3):
+                best = jnp.min(cur, axis=1, keepdims=True)    # (MTsub, 1)
+                pick = jnp.min(jnp.where(cur == best, colg, LARGE),
+                               axis=1, keepdims=True)
+                cur = jnp.where(colg == pick, jnp.inf, cur)
+                # lexicographic insertion (d2, idx): lowest index wins ties
+                lt0 = (best < d0) | ((best == d0) & (pick < i0))
+                lt1 = (best < d1) | ((best == d1) & (pick < i1))
+                lt2 = (best < d2c) | ((best == d2c) & (pick < i2))
+                d0, i0, d1, i1, d2c, i2 = (
+                    jnp.where(lt0, best, d0), jnp.where(lt0, pick, i0),
+                    jnp.where(lt0, d0, jnp.where(lt1, best, d1)),
+                    jnp.where(lt0, i0, jnp.where(lt1, pick, i1)),
+                    jnp.where(lt1, d1, jnp.where(lt2, best, d2c)),
+                    jnp.where(lt1, i1, jnp.where(lt2, pick, i2)))
+            return d0, i0, d1, i1, d2c, i2
+
+        # phase 0: home tile -> D^2 bound
+        carry = merge_tile(h, (inf1, large1, inf1, large1, inf1, large1))
+        maxd = jnp.max(carry[4])                              # scalar, once
+
+        # exact tile window from the bound: a tile t is skippable iff its
+        # z-gap to the query range satisfies gap > 0 and gap^2 > D^2; gaps
+        # are monotone in t so two scalar counting loops give the range
+        def lo_body(t, cnt):
+            gap = q_lo - pzhi_ref[0, 0, t]
+            return cnt + jnp.where((gap > 0.0) & (gap * gap > maxd), 1, 0)
+
+        def hi_body(t, cnt):
+            gap = pzlo_ref[0, 0, t] - q_hi
+            return cnt + jnp.where((gap > 0.0) & (gap * gap > maxd), 1, 0)
+
+        t_lo = jax.lax.fori_loop(0, T2, lo_body, jnp.int32(0))
+        t_hi = T2 - jax.lax.fori_loop(0, T2, hi_body, jnp.int32(0))
+
+        # phase 1: merge the window, home tile excluded (two loops — a
+        # duplicate insertion of an identical (d2, idx) candidate would
+        # occupy two top-3 slots)
+        carry = jax.lax.fori_loop(t_lo, h, merge_tile, carry)
+        carry = jax.lax.fori_loop(h + 1, t_hi, merge_tile, carry)
+        d0, i0, d1, i1, d2c, i2 = carry
+
+        # inverse-squared-distance weights (pointnet2_modules.py:138-144)
+        r0 = 1.0 / (d0 + 1e-8)
+        r1 = 1.0 / (d1 + 1e-8)
+        r2 = 1.0 / (d2c + 1e-8)
+        norm = r0 + r1 + r2
+        w0, w1, w2 = r0 / norm, r1 / norm, r2 / norm          # (MTsub, 1)
+
+        # phase 2: W rows are 3-sparse in global columns — accumulate the
+        # (MTsub, 128) @ (128, C) weight matmul over the window tiles only
+        def wbody(t, acc):
+            colg = iota + t * LANE
+            Wt = ((colg == i0).astype(jnp.float32) * w0
+                  + (colg == i1).astype(jnp.float32) * w1
+                  + (colg == i2).astype(jnp.float32) * w2)    # (MTsub, 128)
+            ft = feat_ref[0, pl.ds(t, 1)][0]                  # (128, C)
+            return acc + jax.lax.dot_general(
+                Wt.astype(jnp.bfloat16), ft.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        acc = jax.lax.fori_loop(t_lo, t_hi, wbody,
+                                jnp.zeros((MTsub, C), jnp.float32))
+        out_ref[0, 0, u * MTsub:(u + 1) * MTsub, :] = acc
+
+
+def three_interpolate_window_pallas(unknown: jnp.ndarray, known: jnp.ndarray,
+                                    known_feats: jnp.ndarray,
+                                    interpret: bool = False) -> jnp.ndarray:
+    """Windowed-exact fused interpolate for z-sorted levels: unknown
+    (B, n, 3), known (B, m, 3), known_feats (B, m, C) -> (B, n, C).
+    Requires BOTH clouds sorted ascending by z (cfg.TPU.SORT_POINTS_Z + the
+    SA modules' sorted FPS picks), m % 128 == 0, n % 8 == 0."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, n, _ = unknown.shape
+    m = known.shape[1]
+    C = known_feats.shape[2]
+    assert m % LANE == 0 and n % 8 == 0
+    T2 = m // LANE
+    # window tightness follows the SUBTILE query z-extent; program-switch
+    # cost follows the full MT block (see fused_sa_window_pallas)
+    MTsub = 8
+    for cand in (128, 64, 32, 16, 8):
+        if n % cand == 0:
+            MTsub = cand
+            break
+    n_sub = 1
+    while MTsub * n_sub * 2 <= 512 and n % (MTsub * n_sub * 2) == 0:
+        n_sub *= 2
+    MT = MTsub * n_sub
+
+    def coord(a, i):
+        return a[..., i].astype(jnp.float32)
+
+    qx = coord(unknown, 0).reshape(B, n // MT, MT, 1)
+    qy = coord(unknown, 1).reshape(B, n // MT, MT, 1)
+    qz = coord(unknown, 2).reshape(B, n // MT, MT, 1)
+    px = coord(known, 0).reshape(B, 1, T2, LANE)
+    py = coord(known, 1).reshape(B, 1, T2, LANE)
+    pz = coord(known, 2).reshape(B, 1, T2, LANE)
+
+    z_k = coord(known, 2).reshape(B, T2, LANE)
+    pzlo = z_k[:, :, 0][:, None]                              # (B, 1, T2)
+    pzhi = z_k[:, :, LANE - 1][:, None]
+    z_q = coord(unknown, 2).reshape(B, n // MTsub, MTsub)
+    qz_mid = 0.5 * (z_q[:, :, 0] + z_q[:, :, MTsub - 1])      # (B, n/MTsub)
+    h = jnp.clip(jnp.sum(pzhi[:, 0, None, :] < qz_mid[:, :, None],
+                         axis=-1), 0, T2 - 1).astype(jnp.int32)[:, None]
+
+    qspec = pl.BlockSpec((1, 1, MT, 1), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    hspec = pl.BlockSpec((1, 1, n // MTsub), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.SMEM)
+    zspec = pl.BlockSpec((1, 1, T2), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.SMEM)
+    pspec = pl.BlockSpec((1, 1, T2, LANE), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((1, T2, LANE, C), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, 1, MT, C), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    out = pl.pallas_call(
+        functools.partial(_window_interp_kernel, T2, n_sub),
+        grid=(B, n // MT),
+        in_specs=[qspec, qspec, qspec, hspec, zspec, zspec,
+                  pspec, pspec, pspec, fspec],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((B, n // MT, MT, C), jnp.float32),
+        compiler_params=params,
+        interpret=interpret,
+    )(qx, qy, qz, h, pzlo, pzhi, px, py, pz,
+      known_feats.astype(jnp.float32).reshape(B, T2, LANE, C))
+    return out.reshape(B, n, C)
 
 
 def three_interpolate_pallas(unknown: jnp.ndarray, known: jnp.ndarray,
