@@ -80,6 +80,21 @@ def test_window_parity_trunk_shape():
     _run(xyz, feats, new_xyz, 0.2, 16, kernels, biases, atol=5e-2)
 
 
+def test_window_parity_crop_batched():
+    """B=8 crops at the trunk shape with M//MT == 1 triggers the G-blocked
+    path (multiple crops per program, shared deep-MLP matmul) — parity with
+    the XLA composition must be crop-exact."""
+    from ws3d_tpu.ops import fused_sa_window_pallas as mod
+
+    rng = np.random.RandomState(11)
+    B, P, M, C = 8, 512, 256, 16
+    xyz, feats = _sorted_cloud(rng, B, P, C, spread=1.5, cluster=True)
+    qidx = np.sort(rng.choice(P, M, replace=False))
+    new_xyz = xyz[:, qidx]
+    kernels, biases = _mlp(rng, 3 + C, [32, 32])
+    _run(xyz, feats, new_xyz, 0.3, 16, kernels, biases, atol=5e-2)
+
+
 def test_window_empty_centers_take_point0():
     """Centers far outside the cloud: CUDA zero-on-empty -> point-0 row."""
     rng = np.random.RandomState(2)

@@ -91,9 +91,13 @@ def _kernel(S, radius, n_layers, n_total,
     # default-precision einsum uses on TPU).
     g = None
     for t in range(T):
-        rank_t = prefix[:, t, :] + tile_base[:, t][:, None]  # (MT, 128)
-        sel_t = ((rank_t[:, None, :] == target[:, :, None])
-                 & in_ball[:, t, :][:, None, :])             # (MT, S, 128)
+        # in-ball mask folded INTO the rank (0 matches no target, targets
+        # are >= 1): saves a second (MT, S, 128) broadcast + AND on the hot
+        # selector tensor per tile
+        rank_t = jnp.where(in_ball[:, t, :],
+                           prefix[:, t, :] + tile_base[:, t][:, None],
+                           0.0)                              # (MT, 128)
+        sel_t = (rank_t[:, None, :] == target[:, :, None])   # (MT, S, 128)
         part = jax.lax.dot_general(
             sel_t.astype(jnp.bfloat16).reshape(MT * S, LANE),
             comb[t * LANE:(t + 1) * LANE, :].astype(jnp.bfloat16),

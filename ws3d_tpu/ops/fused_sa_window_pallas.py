@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 LANE = 128
 
 
-def _kernel(S, radius, n_layers, n_sub, qx_ref, qy_ref, qz_ref, ts_ref,
+def _kernel(S, radius, n_layers, n_sub, G, qx_ref, qy_ref, qz_ref, ts_ref,
             te_ref, px_ref, py_ref, pz_ref, comb_ref, w0xyz_ref,
             *wb_and_out):
     w_refs = wb_and_out[:n_layers - 1]
@@ -58,6 +58,7 @@ def _kernel(S, radius, n_layers, n_sub, qx_ref, qy_ref, qz_ref, ts_ref,
 
     s_sub = jax.lax.broadcasted_iota(jnp.int32, (MTsub, S), 1)
     target = (s_sub + 1).astype(jnp.float32)                  # (MTsub, S)
+    s_col = jax.lax.broadcasted_iota(jnp.int32, (MT, S), 1)
 
     # The MT queries are processed as n_sub SUBTILES, each with its own
     # dynamic [t_start, t_end) window: window tightness is set by the query
@@ -66,81 +67,99 @@ def _kernel(S, radius, n_layers, n_sub, qx_ref, qy_ref, qz_ref, ts_ref,
     # one program per crop with n_sub=4 beats both the full-N fused kernel
     # (4x the mask work) and per-subtile grid programs (4x the switches) —
     # measured in BENCH.md round 3.
-    g_parts, cnt_parts = [], []
-    for u in range(n_sub):
-        qx = qx_ref[0, 0, u * MTsub:(u + 1) * MTsub]          # (MTsub, 1)
-        qy = qy_ref[0, 0, u * MTsub:(u + 1) * MTsub]
-        qz = qz_ref[0, 0, u * MTsub:(u + 1) * MTsub]
-        # ts/te arrive as ONE batch row (1, 1, M/MTsub) in SMEM — the full
-        # (B, M/MTsub) array SMEM-padded to 128 B/row and blew the 1 MB
-        # SMEM budget at B=1024 (trunk crops); the leading singleton keeps
-        # the last two block dims equal to the array dims (mosaic's (8,128)
-        # rule); pick this subtile's window by the m grid axis
-        t_start = ts_ref[0, 0, pl.program_id(1) * n_sub + u]
-        t_end = te_ref[0, 0, pl.program_id(1) * n_sub + u]
+    #
+    # G > 1 blocks MULTIPLE CROPS into one program (stage-2 shapes: the
+    # per-crop work is a handful of 128-wide tiles, so the ~2 us switch +
+    # iota/mask setup + small post-loop matmuls dominate at 1 crop/program).
+    # The per-crop window loops run serially per g; the deep MLP layers run
+    # ONCE on the (G*MT*S, c0) concatenation — bigger MXU ops, 1/G of the
+    # program overhead.
+    h_parts = []
+    for g_i in range(G):
+        g_parts, cnt_parts = [], []
+        for u in range(n_sub):
+            qx = qx_ref[g_i, 0, u * MTsub:(u + 1) * MTsub]    # (MTsub, 1)
+            qy = qy_ref[g_i, 0, u * MTsub:(u + 1) * MTsub]
+            qz = qz_ref[g_i, 0, u * MTsub:(u + 1) * MTsub]
+            # ts/te arrive as G batch rows (G, 1, M/MTsub) in SMEM — the
+            # full (B, M/MTsub) array SMEM-padded to 128 B/row and blew the
+            # 1 MB SMEM budget at B=1024 (trunk crops); pick this subtile's
+            # window by the m grid axis
+            t_start = ts_ref[g_i, 0, pl.program_id(1) * n_sub + u]
+            t_end = te_ref[g_i, 0, pl.program_id(1) * n_sub + u]
 
-        def body(t, carry):
-            g, base = carry
-            px = px_ref[0, 0, pl.ds(t, 1), :]                 # (1, 128)
-            py = py_ref[0, 0, pl.ds(t, 1), :]
-            pz = pz_ref[0, 0, pl.ds(t, 1), :]
-            dx = qx - px
-            dy = qy - py
-            dz = qz - pz
-            d2 = dx * dx + dy * dy + dz * dz                  # (MTsub, 128)
-            in_ball = d2 < radius * radius
-            # inclusive prefix within the tile (counts <= 128: exact bf16)
-            prefix = jax.lax.dot_general(
-                in_ball.astype(jnp.bfloat16), L128,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)           # (MTsub, 128)
-            rank = prefix + base                              # f32
-            sel = ((rank[:, None, :] == target[:, :, None])
-                   & in_ball[:, None, :])                     # (MTsub, S, 128)
-            # comb0 is laid out (T, LANE, c0) so this dynamic slice selects
-            # a whole (LANE, c0) tile on a non-minor dim — slicing a flat
-            # (P, c0) at a dynamic sublane offset made mosaic materialize
-            # lane-padded rotation copies (~8 MB at P=16384), OOMing VMEM
-            comb_t = comb_ref[0, pl.ds(t, 1)][0]              # (128, c0)
-            part = jax.lax.dot_general(
-                sel.astype(jnp.bfloat16).reshape(MTsub * S, LANE),
-                comb_t.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)           # (MTsub*S, c0)
-            return g + part, base + prefix[:, LANE - 1:LANE]
+            def body(t, carry):
+                g, base = carry
+                px = px_ref[g_i, 0, pl.ds(t, 1), :]           # (1, 128)
+                py = py_ref[g_i, 0, pl.ds(t, 1), :]
+                pz = pz_ref[g_i, 0, pl.ds(t, 1), :]
+                dx = qx - px
+                dy = qy - py
+                dz = qz - pz
+                d2 = dx * dx + dy * dy + dz * dz              # (MTsub, 128)
+                in_ball = d2 < radius * radius
+                # inclusive prefix within the tile (counts <= 128: exact
+                # bf16)
+                prefix = jax.lax.dot_general(
+                    in_ball.astype(jnp.bfloat16), L128,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)       # (MTsub, 128)
+                # fold the in-ball mask INTO the rank (0 matches no target,
+                # targets are >= 1): saves a second (MTsub, S, 128)
+                # broadcast + AND on the hot selector tensor — the sel
+                # construction is the VPU floor of the whole kernel
+                rank = jnp.where(in_ball, prefix + base, 0.0)  # (MTsub, 128)
+                sel = (rank[:, None, :]
+                       == target[:, :, None])                 # (MTsub, S, 128)
+                # comb0 is laid out (T, LANE, c0) so this dynamic slice
+                # selects a whole (LANE, c0) tile on a non-minor dim —
+                # slicing a flat (P, c0) at a dynamic sublane offset made
+                # mosaic materialize lane-padded rotation copies (~8 MB at
+                # P=16384), OOMing VMEM
+                comb_t = comb_ref[g_i, pl.ds(t, 1)][0]        # (128, c0)
+                part = jax.lax.dot_general(
+                    sel.astype(jnp.bfloat16).reshape(MTsub * S, LANE),
+                    comb_t.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)       # (MTsub*S, c0)
+                return g + part, base + prefix[:, LANE - 1:LANE]
 
-        g0 = jnp.zeros((MTsub * S, c0), jnp.float32)
-        base0 = jnp.zeros((MTsub, 1), jnp.float32)
-        g_u, cnt_u = jax.lax.fori_loop(t_start, t_end, body, (g0, base0))
-        g_parts.append(g_u.reshape(MTsub, S, c0))
-        cnt_parts.append(cnt_u)
+            g0 = jnp.zeros((MTsub * S, c0), jnp.float32)
+            base0 = jnp.zeros((MTsub, 1), jnp.float32)
+            g_u, cnt_u = jax.lax.fori_loop(t_start, t_end, body, (g0, base0))
+            g_parts.append(g_u.reshape(MTsub, S, c0))
+            cnt_parts.append(cnt_u)
 
-    g = (g_parts[0] if n_sub == 1
-         else jnp.concatenate(g_parts, axis=0)).reshape(MT * S, c0)
-    count = (cnt_parts[0] if n_sub == 1
-             else jnp.concatenate(cnt_parts, axis=0))         # (MT, 1)
-    qx, qy, qz = qx_ref[0, 0], qy_ref[0, 0], qz_ref[0, 0]     # (MT, 1)
-    s_col = jax.lax.broadcasted_iota(jnp.int32, (MT, S), 1)
+        gathered = (g_parts[0] if n_sub == 1
+                    else jnp.concatenate(g_parts, axis=0)).reshape(MT * S, c0)
+        count = (cnt_parts[0] if n_sub == 1
+                 else jnp.concatenate(cnt_parts, axis=0))     # (MT, 1)
+        qx, qy, qz = (qx_ref[g_i, 0], qy_ref[g_i, 0],
+                      qz_ref[g_i, 0])                         # (MT, 1)
 
-    # pad-with-first: slots past the in-radius count matched no rank — copy
-    # slot 0's gathered row; fully-empty centers take the GLOBAL point-0 row
-    g3 = g.reshape(MT, S, c0)
-    # float masks: mosaic can't insert a minor dim on i1 vectors
-    filled = (s_col.astype(jnp.float32)
-              < count).astype(jnp.float32)[:, :, None]        # (MT, S, 1)
-    g3 = g3 * filled + g3[:, 0:1, :] * (1.0 - filled)
-    emptyf = (count == 0.0).astype(jnp.float32)[:, :, None]   # (MT, 1, 1)
-    g3 = (g3 * (1.0 - emptyf)
-          + comb_ref[0, 0, 0:1, :][None].astype(jnp.float32) * emptyf)
+        # pad-with-first: slots past the in-radius count matched no rank —
+        # copy slot 0's gathered row; fully-empty centers take the GLOBAL
+        # point-0 row
+        g3 = gathered.reshape(MT, S, c0)
+        # float masks: mosaic can't insert a minor dim on i1 vectors
+        filled = (s_col.astype(jnp.float32)
+                  < count).astype(jnp.float32)[:, :, None]    # (MT, S, 1)
+        g3 = g3 * filled + g3[:, 0:1, :] * (1.0 - filled)
+        emptyf = (count == 0.0).astype(jnp.float32)[:, :, None]  # (MT, 1, 1)
+        g3 = (g3 * (1.0 - emptyf)
+              + comb_ref[g_i, 0, 0:1, :][None].astype(jnp.float32) * emptyf)
 
-    # layer 0: g3 holds [xyz, feats] @ W0; fold the center-subtract into the
-    # bias (f32/HIGHEST — the xyz term carries absolute coordinates)
-    q = jnp.concatenate([qx, qy, qz], axis=1)                 # (MT, 3)
-    b_eff = b_refs[0][...] - jax.lax.dot_general(
-        q, w0xyz_ref[...], (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)                   # (MT, c0)
-    h3 = jnp.maximum(g3 + b_eff[:, None, :], 0.0)
-    h = h3.reshape(MT * S, c0)
+        # layer 0: g3 holds [xyz, feats] @ W0; fold the center-subtract into
+        # the bias (f32/HIGHEST — the xyz term carries absolute coordinates)
+        q = jnp.concatenate([qx, qy, qz], axis=1)             # (MT, 3)
+        b_eff = b_refs[0][...] - jax.lax.dot_general(
+            q, w0xyz_ref[...], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)               # (MT, c0)
+        h3 = jnp.maximum(g3 + b_eff[:, None, :], 0.0)
+        h_parts.append(h3.reshape(MT * S, c0))
+
+    h = h_parts[0] if G == 1 else jnp.concatenate(h_parts, axis=0)
+    GMT = G * MT
     for l in range(n_layers - 1):
         W = w_refs[l][...]
         b = b_refs[l + 1][...]
@@ -148,10 +167,12 @@ def _kernel(S, radius, n_layers, n_sub, qx_ref, qy_ref, qz_ref, ts_ref,
         z = jax.lax.dot_general(h.astype(jnp.bfloat16), W.astype(jnp.bfloat16),
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        z3 = jnp.maximum(z.reshape(MT, S, c_out_l) + b[None, :, :], 0.0)
-        h = z3.reshape(MT * S, c_out_l)
+        z3 = jnp.maximum(z.reshape(GMT, S, c_out_l) + b[None, :, :], 0.0)
+        h = z3.reshape(GMT * S, c_out_l)
 
-    out_ref[0, 0] = jnp.max(h.reshape(MT, S, -1), axis=1)     # (MT, c_out)
+    pooled = jnp.max(h.reshape(G, MT, S, -1), axis=2)         # (G, MT, c_out)
+    for g_i in range(G):
+        out_ref[g_i, 0] = pooled[g_i]
 
 
 def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels, biases,
@@ -202,6 +223,18 @@ def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels, biases,
         n_sub *= 2
     MT = MTsub * n_sub
 
+    # Crop-batch blocking: at stage-2 shapes (M <= 256 -> one program per
+    # crop) the ~2 us program switch + iota/target setup + small post-loop
+    # matmuls dominate; block G crops per program and run the deep MLP once
+    # on the (G*MT*S, .) concatenation. Bounded by a ~12 MB cap on the MLP
+    # intermediates (h f32 + z f32 + bf16 copies ~ 12 bytes/elt/layer-pair).
+    G = 1
+    if M // MT == 1:
+        cmax = max([c0, c_out] + [k.shape[1] for k in kernels])
+        while (G * 2 * MT * S * cmax * 12 <= 32 * 1024 * 1024
+               and B % (G * 2) == 0 and G < 8):
+            G *= 2
+
     z_pts = xyz[..., 2].astype(jnp.float32)                    # (B, P) sorted
     z_q = new_xyz[..., 2].astype(jnp.float32).reshape(B, M // MTsub, MTsub)
     pz_min = z_pts.reshape(B, T, LANE)[:, :, 0]                # (B, T)
@@ -223,13 +256,13 @@ def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels, biases,
     qy = coord(new_xyz, 1, (B, M // MT, MT, 1))
     qz = coord(new_xyz, 2, (B, M // MT, MT, 1))
 
-    qspec = pl.BlockSpec((1, 1, MT, 1), lambda b, m: (b, m, 0, 0),
+    qspec = pl.BlockSpec((G, 1, MT, 1), lambda b, m: (b, m, 0, 0),
                          memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((1, 1, M // MTsub), lambda b, m: (b, 0, 0),
+    sspec = pl.BlockSpec((G, 1, M // MTsub), lambda b, m: (b, 0, 0),
                          memory_space=pltpu.SMEM)
-    pspec = pl.BlockSpec((1, 1, T, LANE), lambda b, m: (b, 0, 0, 0),
+    pspec = pl.BlockSpec((G, 1, T, LANE), lambda b, m: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((1, T, LANE, c0), lambda b, m: (b, 0, 0, 0),
+    cspec = pl.BlockSpec((G, T, LANE, c0), lambda b, m: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM)
     w0spec = pl.BlockSpec((3, c0), lambda b, m: (0, 0),
                           memory_space=pltpu.VMEM)
@@ -237,7 +270,7 @@ def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels, biases,
                            memory_space=pltpu.VMEM) for k in kernels[1:]]
     bspecs = [pl.BlockSpec((1, b_.shape[0]), lambda b, m: (0, 0),
                            memory_space=pltpu.VMEM) for b_ in biases]
-    ospec = pl.BlockSpec((1, 1, MT, c_out), lambda b, m: (b, m, 0, 0),
+    ospec = pl.BlockSpec((G, 1, MT, c_out), lambda b, m: (b, m, 0, 0),
                          memory_space=pltpu.VMEM)
 
     # mosaic's scoped-vmem accounting of the dynamic-bounds loop is ~16 MB
@@ -246,8 +279,8 @@ def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels, biases,
     # set (comb block + per-tile buffers) is a few MB
     params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
     out = pl.pallas_call(
-        functools.partial(_kernel, S, float(radius), n_layers, n_sub),
-        grid=(B, M // MT),
+        functools.partial(_kernel, S, float(radius), n_layers, n_sub, G),
+        grid=(B // G, M // MT),
         in_specs=[qspec, qspec, qspec, sspec, sspec, pspec, pspec, pspec,
                   cspec, w0spec] + wspecs + bspecs,
         out_specs=ospec,
