@@ -283,3 +283,39 @@ def test_expand_clicks_no_truncation():
     for c in clicks:
         d = np.abs(hyp[valid] - c).max(axis=1)
         assert (d < 0.21).sum() >= 25
+
+
+def test_two_stage_data_parallel_mesh_matches_single(rng):
+    """Data-parallel inference (SURVEY.md §2.6): the jitted two-stage fn
+    with the scene batch sharded over the 8-device CPU mesh and params
+    replicated must reproduce the single-device outputs — the whole graph
+    is batch-leading except the stage-2 compaction, whose batch-pooled
+    top-k only reorders work, not per-crop results."""
+    from ws3d_tpu.parallel import (batch_sharding, make_mesh,
+                                   replicated_sharding)
+
+    cfg = load_config()
+    cfg.RPN.NUM_POINTS = 256
+    cfg.RPN.SA_CONFIG.NPOINTS = [64, 32, 16, 8]
+    cfg.RCNN.ENABLED = True
+    cfg.IOUN.ENABLED = True
+    cfg.RCNN.SA_CONFIG.NPOINTS = [32, 16, 8, -1]
+    cfg.IOUN.SA_CONFIG.NPOINTS = [32, 16, 8, -1]
+    cfg.TPU.MAX_PROPOSALS = 8
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(0))
+    fn = jax.jit(make_two_stage_fn(model, cfg, num_points=64,
+                                   pre_nms_top=128))
+    pts = rng.randn(8, 256, 4).astype(np.float32)
+    pts[..., 2] += 20
+
+    want = fn(variables, jnp.asarray(pts))["packed"]
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    v_repl = jax.device_put(variables, replicated_sharding(mesh))
+    pts_shd = jax.device_put(pts, batch_sharding(mesh))
+    got = fn(v_repl, pts_shd)["packed"]
+    assert len(got.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)

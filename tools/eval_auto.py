@@ -35,6 +35,10 @@ def main():
                    help="overlay ws3d_tpu/data/bench_weights.npz (the\n"
                         "fitted weights bench.py measures with) — for AP\n"
                         "checks of the exact benched configuration")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="data-parallel inference over the first N devices:\n"
+                        "batches sharded on the scene axis, params\n"
+                        "replicated (requires --batch %% N == 0)")
     args = p.parse_args()
     cfg, log = setup(args)
     cfg.RCNN.ENABLED = True
@@ -74,7 +78,23 @@ def main():
         variables, o, t = overlay_flat_npz(variables, wpath)
         log.info("overlaid fitted bench weights (%d/%d leaves)", o, t)
 
-    variables = jax.device_put(variables)   # pin once: restored ckpts are host numpy
+    mesh = None
+    if args.mesh:
+        # data-parallel inference (SURVEY.md §2.6): scenes sharded over the
+        # mesh's data axis, params replicated; XLA partitions the whole
+        # two-stage graph (every stage is batch-leading) with zero
+        # collectives in the forward path
+        from ws3d_tpu.parallel import (batch_sharding, make_mesh,
+                                       replicated_sharding)
+        mesh = make_mesh(args.mesh)
+        if max(args.batch, 1) % mesh.devices.size:
+            raise SystemExit("--batch must be divisible by --mesh")
+        log.info("data-parallel inference mesh over %d devices",
+                 mesh.devices.size)
+        variables = jax.device_put(variables, replicated_sharding(mesh))
+        batch_shd = batch_sharding(mesh)
+    else:
+        variables = jax.device_put(variables)  # restored ckpts are host numpy
     fn = jax.jit(make_two_stage_fn(model, cfg))
     out_dir = os.path.join(args.output_dir, "final_result", "data")
 
@@ -96,7 +116,9 @@ def main():
         if stack.shape[0] < bsz:     # pad the tail batch to the jit shape
             stack = np.concatenate(
                 [stack, np.repeat(stack[-1:], bsz - stack.shape[0], 0)])
-        return idxs, samples, fn(variables, jnp.asarray(stack))["packed"]
+        dev_stack = (jax.device_put(stack, batch_shd) if mesh is not None
+                     else jnp.asarray(stack))
+        return idxs, samples, fn(variables, dev_stack)["packed"]
 
     pending = None
     for lo in list(range(0, n, bsz)) + [None]:
