@@ -78,16 +78,36 @@ def main():
         variables, o, t = overlay_flat_npz(variables, wpath)
         log.info("overlaid fitted bench weights (%d/%d leaves)", o, t)
 
+    run_eval(model, cfg, variables, src, ds, log,
+             scenes=args.scenes, batch=args.batch,
+             output_dir=args.output_dir, no_ap=args.no_ap,
+             mesh_devices=args.mesh)
+
+
+def run_eval(model, cfg, variables, src, ds, log, *, scenes, batch=1,
+             output_dir, no_ap=False, mesh_devices=0, fn=None):
+    """Batched two-stage eval loop: detections -> KITTI txts -> recall
+    tally -> official AP. Returns the AP result dict (or None with no_ap).
+
+    `fn` may be a pre-jitted two-stage function — the checkpoint sweep
+    (eval_all_ckpt.py) passes the same fn across checkpoints so the 3-8 min
+    tunnel compile is paid ONCE, not per checkpoint."""
+    import jax
+    import jax.numpy as jnp
+    from ws3d_tpu.eval import annos_from_objects, get_official_eval_result
+    from ws3d_tpu.eval.kitti_ap import anno_from_lines
+    from ws3d_tpu.pipeline import make_two_stage_fn
+
     mesh = None
-    if args.mesh:
+    if mesh_devices:
         # data-parallel inference (SURVEY.md §2.6): scenes sharded over the
         # mesh's data axis, params replicated; XLA partitions the whole
         # two-stage graph (every stage is batch-leading) with zero
         # collectives in the forward path
         from ws3d_tpu.parallel import (batch_sharding, make_mesh,
                                        replicated_sharding)
-        mesh = make_mesh(args.mesh)
-        if max(args.batch, 1) % mesh.devices.size:
+        mesh = make_mesh(mesh_devices)
+        if max(batch, 1) % mesh.devices.size:
             raise SystemExit("--batch must be divisible by --mesh")
         log.info("data-parallel inference mesh over %d devices",
                  mesh.devices.size)
@@ -95,15 +115,16 @@ def main():
         batch_shd = batch_sharding(mesh)
     else:
         variables = jax.device_put(variables)  # restored ckpts are host numpy
-    fn = jax.jit(make_two_stage_fn(model, cfg))
-    out_dir = os.path.join(args.output_dir, "final_result", "data")
+    if fn is None:
+        fn = jax.jit(make_two_stage_fn(model, cfg))
+    out_dir = os.path.join(output_dir, "final_result", "data")
 
     from ws3d_tpu.datasets.kitti_io import objs_to_boxes3d
     from ws3d_tpu.eval.recall import RecallTally
     tally = RecallTally()
     gt_frames, det_count = [], 0
-    n = min(len(ds), args.scenes)
-    bsz = max(args.batch, 1)
+    n = min(len(ds), scenes)
+    bsz = max(batch, 1)
 
     def dispatch(lo):
         """Stage the next batch on device WITHOUT syncing (dispatch is async
@@ -148,20 +169,22 @@ def main():
     log.info("total detections: %d over %d scenes", det_count, n)
     for line in tally.summary_lines():
         log.info(line)
-    if not args.no_ap:
-        gt_annos = annos_from_objects(gt_frames)
-        dt_annos = []
-        for i in range(n):
-            path = os.path.join(out_dir, "%06d.txt"
-                                % int(ds.get_sample(i)["sample_id"]))
-            with open(path) as f:
-                dt_annos.append(anno_from_lines(f.readlines()))
-        result, ret = get_official_eval_result(gt_annos, dt_annos,
-                                               cfg.CLASSES)
-        log.info("\n%s", result)
-        log.info("Car 3D AP e/m/h: %.2f / %.2f / %.2f",
-                 ret["Car_3d_easy"], ret["Car_3d_moderate"],
-                 ret["Car_3d_hard"])
+    if no_ap:
+        return None
+    gt_annos = annos_from_objects(gt_frames)
+    dt_annos = []
+    for i in range(n):
+        path = os.path.join(out_dir, "%06d.txt"
+                            % int(ds.get_sample(i)["sample_id"]))
+        with open(path) as f:
+            dt_annos.append(anno_from_lines(f.readlines()))
+    result, ret = get_official_eval_result(gt_annos, dt_annos,
+                                           cfg.CLASSES)
+    log.info("\n%s", result)
+    log.info("Car 3D AP e/m/h: %.2f / %.2f / %.2f",
+             ret["Car_3d_easy"], ret["Car_3d_moderate"],
+             ret["Car_3d_hard"])
+    return ret
 
 
 if __name__ == "__main__":
