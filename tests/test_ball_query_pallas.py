@@ -52,3 +52,69 @@ def test_wrap_pad_matches_first_k_wraparound(rng):
                                       np.asarray(want_idx))
         np.testing.assert_array_equal(np.asarray(cnt[b]) == 0,
                                       np.asarray(want_empty))
+
+
+def _legacy_crop(pts_input, scores_norm, centers_xz, num_sampled, sort_z):
+    """The pre-fused XLA composition: rank-search idx -> row gathers ->
+    (optional) stable z-sort. crop_for_rcnn_batched takes this path off-TPU."""
+    from ws3d_tpu.pipeline.inference import crop_for_rcnn_batched
+    return crop_for_rcnn_batched(pts_input, scores_norm, centers_xz,
+                                 num_sampled=num_sampled, sort_z=sort_z)
+
+
+def _fused_crop(pts_input, scores_norm, centers_xz, num_sampled, sort_z):
+    """Replicate crop_for_rcnn_batched's fused branch with interpret=True."""
+    from ws3d_tpu.ops.ball_query_pallas import crop_gather_pallas
+    GROUND_Y = 1.65
+    xyz = pts_input[..., 0:3].at[..., 1].add(-GROUND_Y)
+    reflect = (pts_input[..., 3] if pts_input.shape[-1] > 3
+               else jnp.zeros_like(xyz[..., 0]))
+    ch = jnp.stack([xyz[..., 0], xyz[..., 1], xyz[..., 2],
+                    reflect, scores_norm], axis=1)
+    (gx, gy, gz, grf, gsn), cnt = crop_gather_pallas(
+        xyz, ch, centers_xz, 4.0, num_sampled, grouped=sort_z,
+        interpret=True)
+    empty = cnt == 0
+    crop_xyz = jnp.stack([gx - centers_xz[..., 0:1], gy,
+                          gz - centers_xz[..., 1:2]], axis=-1)
+    crop_mask = (gsn > 0.5).astype(crop_xyz.dtype)[..., None] - 0.5
+    zero = empty[:, :, None, None]
+    crops = {"cur_box_point": jnp.where(zero, 0.0, crop_xyz),
+             "cur_box_reflect": jnp.where(zero, 0.0, grf[..., None]),
+             "train_mask": jnp.where(zero, 0.0, crop_mask)}
+    return crops, empty
+
+
+@pytest.mark.parametrize("sort_z", [True, False])
+def test_crop_gather_matches_legacy_composition(rng, sort_z):
+    """Fused in-kernel crop gather == rank-search + gathers (+ stable sort).
+
+    Scene mixes a dense cluster (cnt > S), moderate-density regions
+    (wraparound), and a far center (empty crop)."""
+    B, N, S = 2, 512, 64
+    pts = rng.randn(B, N, 4).astype(np.float32)
+    pts[..., 0] *= 6.0
+    pts[..., 2] = np.abs(pts[..., 2]) * 12 + 2
+    pts[:, :96, 0] = rng.randn(B, 96).astype(np.float32) * 0.4   # dense
+    pts[:, :96, 2] = 5.0 + rng.randn(B, 96).astype(np.float32) * 0.4
+    order = np.argsort(pts[..., 2], axis=1)
+    pts = np.take_along_axis(pts, order[..., None], axis=1)      # z-sorted
+    sn = rng.rand(B, N).astype(np.float32)
+    centers = np.stack([
+        np.array([[0.0, 5.0]] * B, np.float32),                  # dense
+        np.array([[2.0, 14.0]] * B, np.float32),                 # wrap
+        np.array([[-3.0, 25.0]] * B, np.float32),                # sparse wrap
+        np.array([[500.0, 500.0]] * B, np.float32),              # empty
+    ] * 2, axis=1).reshape(B, 8, 2)
+
+    ref_crops, ref_empty = _legacy_crop(jnp.asarray(pts), jnp.asarray(sn),
+                                        jnp.asarray(centers), S, sort_z)
+    got_crops, got_empty = _fused_crop(jnp.asarray(pts), jnp.asarray(sn),
+                                       jnp.asarray(centers), S, sort_z)
+    np.testing.assert_array_equal(np.asarray(ref_empty),
+                                  np.asarray(got_empty))
+    assert np.asarray(got_empty)[0, 3]                           # far center
+    assert not np.asarray(got_empty)[0, 0]
+    for key in ref_crops:
+        np.testing.assert_array_equal(np.asarray(ref_crops[key]),
+                                      np.asarray(got_crops[key]), err_msg=key)

@@ -109,6 +109,180 @@ def _kernel(radii, nsamples, n_total, wrap_pad,
                 tile_end[:, T - 1:T].astype(jnp.int32))
 
 
+def _crop_gather_kernel(radius, k, n_total, grouped, C,
+                        qx_ref, qz_ref, px_ref, pz_ref, ch_ref, *out_refs):
+    """Rank-search + IN-KERNEL channel gather for the 4 m cylinder crops.
+
+    Same two-level rank search as ``_kernel`` (BEV distance, single scale,
+    wraparound duplication), but instead of emitting indices for an XLA
+    row-gather tail (~11.5 ns/row regardless of width — the dominant cost of
+    the crop block at (B*K*S) = 512k rows), the member's channel values are
+    extracted here with the one-hot tensors the search already builds:
+    tile-onehot @ channel-plane selects the member's 128-lane tile row
+    (f32/HIGHEST matmul — exact for one-hot selectors), then a lane-onehot
+    mask-reduce picks the member lane.
+
+    ``grouped`` emits the SAME multiset as wraparound selection but ordered
+    ascending by point index with each member's duplicates grouped
+    consecutively: slot p takes member j(p) where members 0..R-1 repeat
+    Q+1 times and the rest Q times (Q = k // cnt, R = k % cnt). For
+    z-sorted scenes this IS the z-sorted crop the stage-2 windowed SA
+    kernels require — it replaces the 5-operand lax.sort (stable, so its
+    duplicate tie-order matches the grouped layout).
+    """
+    MT = qx_ref.shape[2]
+    _, _, T, _ = px_ref.shape
+
+    qx, qz = qx_ref[0, 0], qz_ref[0, 0]                 # (MT, 1)
+    px, pz = px_ref[0, 0], pz_ref[0, 0]                 # (T, 128)
+    dx = qx[:, :, None] - px[None, :, :]
+    dz = qz[:, :, None] - pz[None, :, :]
+    d2 = dx * dx + dz * dz                              # (MT, T, 128)
+
+    li = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+    L128 = (lj <= li).astype(jnp.float32).T
+    ti = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    tj = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    LT = (tj <= ti).astype(jnp.float32).T
+
+    maskf = (d2 < radius * radius).astype(jnp.bfloat16)
+    prefix = jax.lax.dot_general(                        # counts <= 128:
+        maskf, L128.astype(jnp.bfloat16), (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # exact bf16
+    tile_sum = prefix[..., LANE - 1]                     # (MT, T)
+    tile_end = jax.lax.dot_general(
+        tile_sum, LT, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)              # (MT, T)
+    tile_base = tile_end - tile_sum
+    cnt = tile_end[:, T - 1:T]                           # (MT, 1) f32 exact
+
+    p = jax.lax.broadcasted_iota(jnp.int32, (MT, k), 1).astype(jnp.float32)
+    safe = jnp.maximum(cnt, 1.0)
+    if grouped:
+        # member of slot p with duplicates grouped: floor-div on small
+        # integers is exact in f32 (p, divisors <= 4096)
+        Q = jnp.floor(k / safe)                          # (MT, 1)
+        R = k - Q * safe
+        thresh = R * (Q + 1.0)
+        j = jnp.where(p < thresh,
+                      jnp.floor(p / (Q + 1.0)),
+                      R + jnp.floor((p - thresh) / jnp.maximum(Q, 1.0)))
+        targets = jnp.where(cnt >= k, p, j) + 1.0        # (MT, k)
+    else:
+        targets = p + 1.0
+        targets = targets - safe * jnp.floor((targets - 1.0) / safe)
+
+    lt = tile_end[:, None, :] < targets[:, :, None]      # (MT, k, T)
+    tile_j = jnp.sum(lt.astype(jnp.float32), axis=-1)
+    overflow = tile_j >= T
+    tile_jc = jnp.minimum(tile_j, T - 1)
+    t_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (MT, k, T), 2).astype(jnp.float32)
+    onehot = (t_iota == tile_jc[:, :, None]).astype(jnp.float32)
+    base = jnp.sum(onehot * tile_base[:, None, :], axis=-1)
+    sel_prefix = jax.lax.dot_general(
+        onehot.astype(jnp.bfloat16), prefix.astype(jnp.bfloat16),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (MT, k, 128)
+    local_target = targets - base
+    off = jnp.sum((sel_prefix < local_target[:, :, None])
+                  .astype(jnp.float32), axis=-1)         # (MT, k)
+    off = jnp.where(overflow, float(LANE), off)          # no lane matches
+    l_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (MT, k, LANE), 2).astype(jnp.float32)
+    lane_oh = (l_iota == off[:, :, None]).astype(jnp.float32)
+
+    for c in range(C):
+        rows = jax.lax.dot_general(
+            onehot, ch_ref[0, c], (((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)          # (MT, k, 128)
+        out_refs[c][0, 0] = jnp.sum(rows * lane_oh, axis=-1)
+    out_refs[C][0, 0] = cnt.astype(jnp.int32)
+
+
+def crop_gather_pallas(xyz: jnp.ndarray, channels: jnp.ndarray,
+                       centers_xz: jnp.ndarray, radius: float,
+                       num_sampled: int, grouped: bool = True,
+                       interpret: bool = False):
+    """Fused cylinder crop: BEV rank search + in-kernel value gather.
+
+    :param xyz: (B, N, 3) scene points — membership uses x/z only; when
+        `grouped`, points MUST be sorted ascending by z.
+    :param channels: (B, C, N) per-point values to gather (typically
+        x, y, z, reflectance, rpn score).
+    :param centers_xz: (B, M, 2) BEV crop centers.
+    :return: (vals tuple of C arrays (B, M, num_sampled) f32, cnt (B, M)
+        int32). Selection: first-k in point order, `s % cnt` wraparound
+        (roipool3d_kernel.cu:123-160); `grouped` emits the same multiset
+        ordered by point index with duplicates grouped (= the z-sorted
+        crop). Empty centers (cnt 0) return zero rows. Gathered values are
+        exact f32 (one-hot HIGHEST matmuls). Requires N % 128 == 0,
+        M % 8 == 0.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, _ = xyz.shape
+    M = centers_xz.shape[1]
+    C = channels.shape[1]
+    k = int(num_sampled)
+    assert N % LANE == 0 and M % 8 == 0
+    T = N // LANE
+    # per-query VMEM: d2/prefix stack ~N*10 B, slot->tile search buffers
+    # ~k*(T*8+512), per-channel gather transients (rows + lane_oh)
+    # ~k*128*12
+    per_q = N * 10 + k * (T * 8 + 512) + k * LANE * 12
+    budget = max(10 * 1024 * 1024 // per_q, 8)
+    MT = 8
+    for cand in (64, 32, 16, 8):
+        if cand <= budget and M % cand == 0:
+            MT = cand
+            break
+
+    px = xyz[..., 0].astype(jnp.float32).reshape(B, 1, T, LANE)
+    pz = xyz[..., 2].astype(jnp.float32).reshape(B, 1, T, LANE)
+    qx = centers_xz[..., 0].astype(jnp.float32).reshape(B, M // MT, MT, 1)
+    qz = centers_xz[..., 1].astype(jnp.float32).reshape(B, M // MT, MT, 1)
+    ch = channels.astype(jnp.float32).reshape(B, C, T, LANE)
+
+    qspec = pl.BlockSpec((1, 1, MT, 1), lambda b, m: (b, m, 0, 0),
+                         memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((1, 1, T, LANE), lambda b, m: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    chspec = pl.BlockSpec((1, C, T, LANE), lambda b, m: (b, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, 1, MT, k), lambda b, m: (b, m, 0, 0),
+                         memory_space=pltpu.VMEM)
+    cntspec = pl.BlockSpec((1, 1, MT, 1), lambda b, m: (b, m, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_specs = tuple(vspec for _ in range(C)) + (cntspec,)
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((B, M // MT, MT, k), jnp.float32)
+        for _ in range(C)) + (
+        jax.ShapeDtypeStruct((B, M // MT, MT, 1), jnp.int32),)
+
+    # the d2/prefix stack + slot-search + gather transients peak near the
+    # 16 MB scoped default at MT=8 already; raise the per-kernel cap (v5e
+    # has 128 MB physical VMEM) — same pattern as fused_sa_window_pallas
+    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    outs = pl.pallas_call(
+        functools.partial(_crop_gather_kernel, float(radius), k, N,
+                          bool(grouped), C),
+        grid=(B, M // MT),
+        in_specs=[qspec, qspec, pspec, pspec, chspec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=params,
+        interpret=interpret,
+    )(qx, qz, px, pz, ch)
+    vals = tuple(o.reshape(B, M, k) for o in outs[:C])
+    cnt = outs[C].reshape(B, M)
+    return vals, cnt
+
+
 def ball_query_pallas(radii: Sequence[float], nsamples: Sequence[int],
                       xyz: jnp.ndarray, new_xyz: jnp.ndarray,
                       interpret: bool = False,

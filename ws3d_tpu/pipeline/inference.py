@@ -144,6 +144,41 @@ def crop_for_rcnn_batched(pts_input: jnp.ndarray, scores_norm: jnp.ndarray,
                   train_mask (B, K, S, 1)), empty (B, K) bool
     """
     xyz = pts_input[..., 0:3].at[..., 1].add(-GROUND_Y)
+    B, N = xyz.shape[0], xyz.shape[1]
+    K = centers_xz.shape[1]
+
+    # Fused crop-gather kernel: the rank search itself is ~1 ms — the old
+    # tail's XLA row gathers (3 x B*K*S = 512k rows at ~11.5 ns/row) and
+    # the 5-operand lax.sort dominated the crop block. The kernel gathers
+    # the channel values in-graph (one-hot HIGHEST matmuls, exact) and
+    # emits the crop already in z-sorted grouped-duplicate order.
+    use_fused = (N % LANE_ALIGN == 0 and K % 8 == 0
+                 and num_sampled % LANE_ALIGN == 0)
+    if use_fused:
+        try:
+            use_fused = jax.default_backend() in ("tpu", "axon")
+        except Exception:                                   # pragma: no cover
+            use_fused = False
+    if use_fused:
+        from ws3d_tpu.ops.ball_query_pallas import crop_gather_pallas
+        reflect = (pts_input[..., 3] if pts_input.shape[-1] > 3
+                   else jnp.zeros_like(xyz[..., 0]))
+        ch = jnp.stack([xyz[..., 0], xyz[..., 1], xyz[..., 2],
+                        reflect, scores_norm], axis=1)       # (B, 5, N)
+        (gx, gy, gz, grf, gsn), cnt = crop_gather_pallas(
+            xyz, ch, centers_xz, CROP_RADIUS, num_sampled, grouped=sort_z)
+        empty = cnt == 0
+        crop_xyz = jnp.stack(
+            [gx - centers_xz[..., 0:1], gy,
+             gz - centers_xz[..., 1:2]], axis=-1)            # (B, K, S, 3)
+        crop_reflect = grf[..., None]
+        crop_mask = (gsn > 0.5).astype(crop_xyz.dtype)[..., None] - 0.5
+        zero = empty[:, :, None, None]
+        crops = {"cur_box_point": jnp.where(zero, 0.0, crop_xyz),
+                 "cur_box_reflect": jnp.where(zero, 0.0, crop_reflect),
+                 "train_mask": jnp.where(zero, 0.0, crop_mask)}
+        return crops, empty
+
     idx, empty = _bev_first_k_wrap_batched(xyz, centers_xz, CROP_RADIUS,
                                            num_sampled)
 
