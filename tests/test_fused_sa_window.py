@@ -186,3 +186,27 @@ def test_sorted_points_sorts_fps_picks():
                            train=False)
     z = np.asarray(new_xyz)[0, :, 2]
     assert np.all(np.diff(z) >= 0)
+
+
+def test_window_early_exit_saturation_exact():
+    """Dense slab: every query sees far more than S in-ball points, so the
+    saturation early-exit (stop once min in-ball count >= S) triggers tiles
+    before t_end. Output must be bit-identical to the full-window sweep —
+    skipped tiles can only hold ranks > S, which match no slot target."""
+    from ws3d_tpu.ops.fused_sa_window_pallas import _pallas_forward
+
+    rng = np.random.RandomState(5)
+    B, P, M, C, S = 2, 1024, 64, 4, 8
+    # thin z-slab: windows span many tiles, counts saturate S immediately
+    xyz = rng.randn(B, P, 3).astype(np.float32) * 0.2
+    xyz = xyz[np.arange(B)[:, None], np.argsort(xyz[..., 2], axis=1)]
+    feats = rng.rand(B, P, C).astype(np.float32)
+    qidx = np.sort(rng.choice(P, M, replace=False))
+    new_xyz = xyz[:, qidx]
+    kernels, biases = _mlp(rng, 3 + C, [16, 16])
+    args = (jnp.asarray(xyz), jnp.asarray(feats), jnp.asarray(new_xyz),
+            1.0, S, tuple(jnp.asarray(k) for k in kernels),
+            tuple(jnp.asarray(b) for b in biases))
+    full = _pallas_forward(*args, interpret=True, early_exit=False)
+    fast = _pallas_forward(*args, interpret=True, early_exit=True)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(full))

@@ -76,9 +76,13 @@ def main():
 
     # --- FPS ---
     fa = np.asarray(jax.jit(lambda p: _fps_scan(p, 4096))(xyz))
-    fb = np.asarray(jax.jit(lambda p: _fps_pallas(p, 4096))(xyz))
+    fb, fc = jax.jit(lambda p: _fps_pallas(p, 4096))(xyz)
+    fb = np.asarray(fb)
     ok = (fa == fb).all()
-    print(f"fps parity: {'OK' if ok else 'FAIL'}")
+    from ws3d_tpu.ops.sampling import gather_points
+    ok &= np.allclose(np.asarray(fc),
+                      np.asarray(gather_points(xyz, jnp.asarray(fb))))
+    print(f"fps parity (idx + coords): {'OK' if ok else 'FAIL'}")
     failures += not ok
     print("  pallas  %.1f ms" % amortized_ms(
         lambda p: _fps_pallas(p, 4096), (xyz,)))

@@ -18,7 +18,7 @@ from ws3d_tpu.models.layers import SharedMLP
 from ws3d_tpu.ops.grouping import (group_all, ball_query_multi,
                                    group_with_idx)
 from ws3d_tpu.ops.interpolate import interpolate_features
-from ws3d_tpu.ops.sampling import furthest_point_sample, gather_points
+from ws3d_tpu.ops.sampling import furthest_point_sample_with_coords
 
 # test hook: force the fused SA path (run in interpret mode off-TPU)
 FORCE_FUSED_INTERPRET = False
@@ -71,10 +71,17 @@ class PointnetSAModuleMSG(nn.Module):
         """xyz (B, N, 3), features (B, N, C) or None ->
         (new_xyz (B, npoint, 3) or None, new_features (B, npoint, sum(C_out)))."""
         if self.npoint is not None:
-            idx = furthest_point_sample(xyz, self.npoint)
+            # the kernel emits picked coords alongside indices (saves the
+            # new_xyz row gather); the sorted invariant is restored by
+            # co-sorting the coords with the index key (multi-operand
+            # lax.sort — argsort+take lowers to dynamic lane gathers)
+            idx, new_xyz = furthest_point_sample_with_coords(xyz, self.npoint)
             if self.sorted_points:
-                idx = jnp.sort(idx, axis=-1)
-            new_xyz = gather_points(xyz, idx)
+                _, sx, sy, sz = jax.lax.sort(
+                    (idx, new_xyz[..., 0], new_xyz[..., 1], new_xyz[..., 2]),
+                    dimension=1, num_keys=1)
+                new_xyz = jnp.stack([sx, sy, sz], axis=-1)
+            new_xyz = new_xyz.astype(xyz.dtype)
         else:
             new_xyz = None
 

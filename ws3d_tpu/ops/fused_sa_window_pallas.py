@@ -41,9 +41,9 @@ from jax.experimental import pallas as pl
 LANE = 128
 
 
-def _kernel(S, radius, n_layers, n_sub, G, qx_ref, qy_ref, qz_ref, ts_ref,
-            te_ref, px_ref, py_ref, pz_ref, comb_ref, w0xyz_ref,
-            *wb_and_out):
+def _kernel(S, radius, n_layers, n_sub, G, early_exit, qx_ref, qy_ref,
+            qz_ref, ts_ref, te_ref, px_ref, py_ref, pz_ref, comb_ref,
+            w0xyz_ref, *wb_and_out):
     w_refs = wb_and_out[:n_layers - 1]
     b_refs = wb_and_out[n_layers - 1:2 * n_layers - 1]
     out_ref = wb_and_out[2 * n_layers - 1]
@@ -125,7 +125,33 @@ def _kernel(S, radius, n_layers, n_sub, G, qx_ref, qy_ref, qz_ref, ts_ref,
 
             g0 = jnp.zeros((MTsub * S, c0), jnp.float32)
             base0 = jnp.zeros((MTsub, 1), jnp.float32)
-            g_u, cnt_u = jax.lax.fori_loop(t_start, t_end, body, (g0, base0))
+            if early_exit:
+                # saturation exit: once EVERY query in the subtile has seen
+                # >= S in-ball points, later tiles can only produce ranks
+                # > S (targets are <= S) — sel is all-zero, so skipping them
+                # is exact. NOTE the emitted `count` then undercounts at
+                # saturation, which is only valid when the consumer uses
+                # count solely for pad-with-first/empty logic (both compare
+                # against <= S thresholds) — true here, NOT for wrap_pad.
+                # MEASURED NEGATIVE at trunk shapes (BENCH.md round 3):
+                # 12.6 -> 13.3 ms — the scalar-reduce condition serializes
+                # the loop (no double-buffered tile prefetch) and costs more
+                # than the skipped tiles save. Kept OFF by default as a
+                # documented negative result (parity-tested either way).
+                def cond(st):
+                    t, _, base = st
+                    return (t < t_end) & (jnp.min(base) < float(S))
+
+                def wbody(st):
+                    t, g, base = st
+                    g, base = body(t, (g, base))
+                    return t + 1, g, base
+
+                _, g_u, cnt_u = jax.lax.while_loop(
+                    cond, wbody, (t_start, g0, base0))
+            else:
+                g_u, cnt_u = jax.lax.fori_loop(t_start, t_end, body,
+                                               (g0, base0))
             g_parts.append(g_u.reshape(MTsub, S, c0))
             cnt_parts.append(cnt_u)
 
@@ -176,7 +202,7 @@ def _kernel(S, radius, n_layers, n_sub, G, qx_ref, qy_ref, qz_ref, ts_ref,
 
 
 def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels, biases,
-                    interpret=False):
+                    interpret=False, mtsub=None, early_exit=False):
     from jax.experimental.pallas import tpu as pltpu
 
     B, P, _ = xyz.shape
@@ -208,6 +234,8 @@ def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels, biases,
     # per-query term; the rest is comb0/coords double-buffering headroom)
     per_q = S * LANE * 26 + max(c0, c_out) * 8
     budget = max((4 * 1024 * 1024) // per_q, 8)
+    if mtsub is not None:
+        budget = min(budget, int(mtsub))
     MTsub = 8
     for cand in (256, 128, 64, 32, 16, 8):
         if cand <= budget and M % cand == 0:
@@ -279,7 +307,8 @@ def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels, biases,
     # set (comb block + per-tile buffers) is a few MB
     params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
     out = pl.pallas_call(
-        functools.partial(_kernel, S, float(radius), n_layers, n_sub, G),
+        functools.partial(_kernel, S, float(radius), n_layers, n_sub, G,
+                          bool(early_exit)),
         grid=(B // G, M // MT),
         in_specs=[qspec, qspec, qspec, sspec, sspec, pspec, pspec, pspec,
                   cspec, w0spec] + wspecs + bspecs,
