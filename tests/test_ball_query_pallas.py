@@ -118,3 +118,37 @@ def test_crop_gather_matches_legacy_composition(rng, sort_z):
     for key in ref_crops:
         np.testing.assert_array_equal(np.asarray(ref_crops[key]),
                                       np.asarray(got_crops[key]), err_msg=key)
+
+
+def test_crop_gather_z_window_matches_full(rng):
+    """Windowed fast path (z-sorted centers, per-program tile windows) is
+    bit-identical to the full kernel; an undersized budget falls back via
+    the in-graph fits check (also bit-identical)."""
+    from ws3d_tpu.ops.ball_query_pallas import crop_gather_pallas
+
+    B, N, S = 2, 1024, 128
+    xyz = rng.randn(B, N, 3).astype(np.float32)
+    xyz[..., 0] *= 6.0
+    xyz[..., 2] = np.abs(xyz[..., 2]) * 15 + 2
+    order = np.argsort(xyz[..., 2], axis=1)
+    xyz = np.take_along_axis(xyz, order[..., None], axis=1)     # z-sorted
+    ch = np.stack([xyz[..., 0], xyz[..., 1], xyz[..., 2]], axis=1)
+    # z-ordered centers along the scene depth
+    cz = np.linspace(4.0, 30.0, 8, dtype=np.float32)
+    centers = np.stack([np.zeros_like(cz), cz], axis=-1)[None].repeat(B, 0)
+
+    args = (jnp.asarray(xyz), jnp.asarray(ch), jnp.asarray(centers), 4.0, S)
+    full_v, full_c = crop_gather_pallas(*args, interpret=True, z_window=None)
+    win_v, win_c = crop_gather_pallas(
+        *args, interpret=True, z_window=4,
+        center_z=jnp.asarray(centers[..., 1]))
+    np.testing.assert_array_equal(np.asarray(full_c), np.asarray(win_c))
+    for a, b in zip(full_v, win_v):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # undersized budget: fits=False -> lax.cond fallback, still identical
+    fb_v, fb_c = crop_gather_pallas(
+        *args, interpret=True, z_window=1,
+        center_z=jnp.asarray(centers[..., 1]))
+    np.testing.assert_array_equal(np.asarray(full_c), np.asarray(fb_c))
+    for a, b in zip(full_v, fb_v):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -212,15 +212,25 @@ class PointnetFPModule(nn.Module):
                  unknown_feats: Optional[jnp.ndarray],
                  known_feats: jnp.ndarray, train: bool = False,
                  bn_momentum=0.1) -> jnp.ndarray:
+        bf16 = self.dtype == jnp.bfloat16
         if known is not None:
+            # with a bf16 compute dtype the fused kernel emits bf16 directly
+            # — the first Dense would cast its input anyway, and the f32
+            # intermediate costs a full-tensor convert pass + 2x HBM writes
             interp = interpolate_features(unknown, known, known_feats,
                                           chunk=self.nn_chunk,
-                                          sorted_z=self.sorted_points)
+                                          sorted_z=self.sorted_points,
+                                          bf16_out=bf16)
         else:
             interp = jnp.broadcast_to(
                 known_feats, (known_feats.shape[0], unknown.shape[1],
                               known_feats.shape[2]))
         if unknown_feats is not None:
+            if bf16:
+                # keep the concat in bf16 (mixed concat promotes to f32,
+                # reintroducing the convert); the Dense casts either way
+                interp = interp.astype(jnp.bfloat16)
+                unknown_feats = unknown_feats.astype(jnp.bfloat16)
             interp = jnp.concatenate([interp, unknown_feats], axis=-1)
         return SharedMLP(self.mlp, use_bn=self.use_bn, dtype=self.dtype)(
             interp, train=train, bn_momentum=bn_momentum)

@@ -26,6 +26,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 LANE = 128
 
@@ -109,8 +110,8 @@ def _kernel(radii, nsamples, n_total, wrap_pad,
                 tile_end[:, T - 1:T].astype(jnp.int32))
 
 
-def _crop_gather_kernel(radius, k, n_total, grouped, C,
-                        qx_ref, qz_ref, px_ref, pz_ref, ch_ref, *out_refs):
+def _crop_gather_kernel(radius, k, n_total, grouped, C, W,
+                        *refs):
     """Rank-search + IN-KERNEL channel gather for the 4 m cylinder crops.
 
     Same two-level rank search as ``_kernel`` (BEV distance, single scale,
@@ -129,12 +130,35 @@ def _crop_gather_kernel(radius, k, n_total, grouped, C,
     z-sorted scenes this IS the z-sorted crop the stage-2 windowed SA
     kernels require — it replaces the 5-operand lax.sort (stable, so its
     duplicate tie-order matches the grouped layout).
+
+    ``W`` (z-window mode, W < total tiles): the search runs over only the W
+    point tiles starting at this program's t0 (SMEM) — valid when every
+    in-radius point of every query lies inside [t0, t0+W) (z-sorted points,
+    window from the query-block z-extent +- radius; the caller verifies and
+    falls back to the full kernel via lax.cond otherwise). All rank/search/
+    gather tensors shrink from T to W tiles.
     """
+    if W is not None:
+        t0_ref, qx_ref, qz_ref, px_ref, pz_ref, ch_ref = refs[:6]
+        out_refs = refs[6:]
+        t0 = t0_ref[0, 0, pl.program_id(1)]
+        T = W
+        px = px_ref[0, 0, pl.ds(t0, W), :]              # (W, 128)
+        pz = pz_ref[0, 0, pl.ds(t0, W), :]
+
+        def ch_at(c):
+            return ch_ref[0, c, pl.ds(t0, W), :]        # (W, 128)
+    else:
+        qx_ref, qz_ref, px_ref, pz_ref, ch_ref = refs[:5]
+        out_refs = refs[5:]
+        _, _, T, _ = px_ref.shape
+        px, pz = px_ref[0, 0], pz_ref[0, 0]             # (T, 128)
+
+        def ch_at(c):
+            return ch_ref[0, c]
     MT = qx_ref.shape[2]
-    _, _, T, _ = px_ref.shape
 
     qx, qz = qx_ref[0, 0], qz_ref[0, 0]                 # (MT, 1)
-    px, pz = px_ref[0, 0], pz_ref[0, 0]                 # (T, 128)
     dx = qx[:, :, None] - px[None, :, :]
     dz = qz[:, :, None] - pz[None, :, :]
     d2 = dx * dx + dz * dz                              # (MT, T, 128)
@@ -196,7 +220,7 @@ def _crop_gather_kernel(radius, k, n_total, grouped, C,
 
     for c in range(C):
         rows = jax.lax.dot_general(
-            onehot, ch_ref[0, c], (((2,), (0,)), ((), ())),
+            onehot, ch_at(c), (((2,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)          # (MT, k, 128)
         out_refs[c][0, 0] = jnp.sum(rows * lane_oh, axis=-1)
@@ -206,7 +230,8 @@ def _crop_gather_kernel(radius, k, n_total, grouped, C,
 def crop_gather_pallas(xyz: jnp.ndarray, channels: jnp.ndarray,
                        centers_xz: jnp.ndarray, radius: float,
                        num_sampled: int, grouped: bool = True,
-                       interpret: bool = False):
+                       interpret: bool = False, z_window: int | None = 32,
+                       center_z: jnp.ndarray | None = None):
     """Fused cylinder crop: BEV rank search + in-kernel value gather.
 
     :param xyz: (B, N, 3) scene points — membership uses x/z only; when
@@ -221,6 +246,16 @@ def crop_gather_pallas(xyz: jnp.ndarray, channels: jnp.ndarray,
         crop). Empty centers (cnt 0) return zero rows. Gathered values are
         exact f32 (one-hot HIGHEST matmuls). Requires N % 128 == 0,
         M % 8 == 0.
+    :param z_window: static point-tile budget for the z-window fast path
+        (requires `center_z` and points z-sorted): each program's search
+        runs over only `z_window` tiles covering its centers' z-extent
+        +- radius, shrinking every rank/search/gather tensor T -> z_window.
+        If ANY program's true window exceeds the budget, the whole call
+        falls back to the full kernel via lax.cond — exactness is
+        unconditional; the fast path pays off when the caller orders
+        centers by z (pipeline/inference.py does under SORT_POINTS_Z).
+    :param center_z: (B, M) rect z of each center (the sort axis) for the
+        window computation; None disables the fast path.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -268,16 +303,60 @@ def crop_gather_pallas(xyz: jnp.ndarray, channels: jnp.ndarray,
     # 16 MB scoped default at MT=8 already; raise the per-kernel cap (v5e
     # has 128 MB physical VMEM) — same pattern as fused_sa_window_pallas
     params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
-    outs = pl.pallas_call(
-        functools.partial(_crop_gather_kernel, float(radius), k, N,
-                          bool(grouped), C),
-        grid=(B, M // MT),
-        in_specs=[qspec, qspec, pspec, pspec, chspec],
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        compiler_params=params,
-        interpret=interpret,
-    )(qx, qz, px, pz, ch)
+
+    def call_full(qx, qz, px, pz, ch):
+        return pl.pallas_call(
+            functools.partial(_crop_gather_kernel, float(radius), k, N,
+                              bool(grouped), C, None),
+            grid=(B, M // MT),
+            in_specs=[qspec, qspec, pspec, pspec, chspec],
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            compiler_params=params,
+            interpret=interpret,
+        )(qx, qz, px, pz, ch)
+
+    W = None if z_window is None or center_z is None else min(int(z_window), T)
+    if W is not None and W < T:
+        # per-program tile windows from the block's center-z extent +- r:
+        # points in tiles strictly below/above can't be in any center's ball
+        zq = center_z.astype(jnp.float32).reshape(B, M // MT, MT)
+        pzs = xyz[..., 2].astype(jnp.float32).reshape(B, T, LANE)
+        lo = jnp.min(zq, axis=-1) - radius                # (B, M/MT)
+        hi = jnp.max(zq, axis=-1) + radius
+        t_start = jnp.sum(
+            (pzs[:, None, :, LANE - 1] < lo[:, :, None]), axis=-1
+        ).astype(jnp.int32)
+        t_end = jnp.sum(
+            (pzs[:, None, :, 0] <= hi[:, :, None]), axis=-1
+        ).astype(jnp.int32)
+        fits = jnp.max(t_end - t_start) <= W              # scalar
+        # (B, 1, M/MT): full-array trailing dims satisfy the SMEM block
+        # tiling rule at any B (same pattern as fused_sa_window's ts/te)
+        t0 = jnp.minimum(t_start, T - W)[:, None]         # (B, 1, M/MT)
+
+        t0spec = pl.BlockSpec((1, 1, M // MT), lambda b, m: (b, 0, 0),
+                              memory_space=pltpu.SMEM)
+
+        def call_win(qx, qz, px, pz, ch, t0):
+            return pl.pallas_call(
+                functools.partial(_crop_gather_kernel, float(radius), k, N,
+                                  bool(grouped), C, W),
+                grid=(B, M // MT),
+                in_specs=[t0spec, qspec, qspec, pspec, pspec, chspec],
+                out_specs=out_specs,
+                out_shape=out_shapes,
+                compiler_params=params,
+                interpret=interpret,
+            )(t0, qx, qz, px, pz, ch)
+
+        outs = jax.lax.cond(
+            fits,
+            lambda a: call_win(*a),
+            lambda a: call_full(*a[:5]),
+            (qx, qz, px, pz, ch, t0))
+    else:
+        outs = call_full(qx, qz, px, pz, ch)
     vals = tuple(o.reshape(B, M, k) for o in outs[:C])
     cnt = outs[C].reshape(B, M)
     return vals, cnt

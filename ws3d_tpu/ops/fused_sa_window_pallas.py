@@ -235,7 +235,7 @@ def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels, biases,
     per_q = S * LANE * 26 + max(c0, c_out) * 8
     budget = max((4 * 1024 * 1024) // per_q, 8)
     if mtsub is not None:
-        budget = min(budget, int(mtsub))
+        budget = int(mtsub)
     MTsub = 8
     for cand in (256, 128, 64, 32, 16, 8):
         if cand <= budget and M % cand == 0:

@@ -81,29 +81,34 @@ def _interpolate_xla(unknown, known, known_feats, chunk=2048,
     return three_interpolate(known_feats, idx, weight)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _interpolate_fused(unknown, known, known_feats, interpret, sorted_z):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _interpolate_fused(unknown, known, known_feats, interpret, sorted_z,
+                       bf16_out=False):
     if sorted_z:
         from ws3d_tpu.ops.three_nn_pallas import (
             three_interpolate_window_pallas)
-        return three_interpolate_window_pallas(unknown, known, known_feats,
-                                               interpret=interpret)
+        out = three_interpolate_window_pallas(unknown, known, known_feats,
+                                              interpret=interpret)
+        return out.astype(jnp.bfloat16) if bf16_out else out
     from ws3d_tpu.ops.three_nn_pallas import three_interpolate_pallas
-    return three_interpolate_pallas(unknown, known, known_feats,
-                                    interpret=interpret)
+    return three_interpolate_pallas(
+        unknown, known, known_feats, interpret=interpret,
+        out_dtype=jnp.bfloat16 if bf16_out else jnp.float32)
 
 
-def _interpolate_fused_fwd(unknown, known, known_feats, interpret, sorted_z):
-    out = _interpolate_fused(unknown, known, known_feats, interpret, sorted_z)
+def _interpolate_fused_fwd(unknown, known, known_feats, interpret, sorted_z,
+                           bf16_out=False):
+    out = _interpolate_fused(unknown, known, known_feats, interpret, sorted_z,
+                             bf16_out)
     return out, (unknown, known, known_feats)
 
 
-def _interpolate_fused_bwd(interpret, sorted_z, res, gout):
+def _interpolate_fused_bwd(interpret, sorted_z, bf16_out, res, gout):
     unknown, known, known_feats = res
     _, vjp = jax.vjp(
         lambda u, k, f: _interpolate_xla(u, k, f, force_xla_nn=True),
         unknown, known, known_feats)
-    return vjp(gout)
+    return vjp(gout.astype(jnp.float32))
 
 
 _interpolate_fused.defvjp(_interpolate_fused_fwd, _interpolate_fused_bwd)
@@ -111,7 +116,8 @@ _interpolate_fused.defvjp(_interpolate_fused_fwd, _interpolate_fused_bwd)
 
 def interpolate_features(unknown: jnp.ndarray, known: jnp.ndarray,
                          known_feats: jnp.ndarray, chunk: int = 2048,
-                         sorted_z: bool = False) -> jnp.ndarray:
+                         sorted_z: bool = False,
+                         bf16_out: bool = False) -> jnp.ndarray:
     """Full FP interpolation step (pointnet2_modules.py:138-144):
     inverse-squared-distance weighted 3-NN interpolation.
 
@@ -125,5 +131,5 @@ def interpolate_features(unknown: jnp.ndarray, known: jnp.ndarray,
     from ws3d_tpu.ops.grouping import _use_pallas
     if _use_pallas(known.shape[1], unknown.shape[1]):
         return _interpolate_fused(unknown, known, known_feats, False,
-                                  bool(sorted_z))
+                                  bool(sorted_z), bool(bf16_out))
     return _interpolate_xla(unknown, known, known_feats, chunk=chunk)

@@ -88,10 +88,13 @@ def _interp_kernel(m_total, qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
     # rtol 2e-2, tests/test_fused_interpolate.py); measured impact on the
     # fitted-checkpoint synthetic AP: none (BENCH.md round-2, AP unchanged
     # vs the f32 composition), so the ~2x MXU-rate win is kept.
+    # The store casts to out_ref's dtype: emitting bf16 directly (when the
+    # downstream Dense computes in bf16 anyway) removes a full-tensor XLA
+    # convert pass + halves the kernel's HBM writes (134 MB at FP-0 scale).
     out_ref[0, 0] = jax.lax.dot_general(
         W.astype(jnp.bfloat16), feat_ref[0].astype(jnp.bfloat16),
         (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # (MT, C)
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)  # (MT, C)
 
 
 def _window_interp_kernel(T2, n_sub, qx_ref, qy_ref, qz_ref, h_ref,
@@ -281,10 +284,11 @@ def three_interpolate_window_pallas(unknown: jnp.ndarray, known: jnp.ndarray,
 
 def three_interpolate_pallas(unknown: jnp.ndarray, known: jnp.ndarray,
                              known_feats: jnp.ndarray,
-                             interpret: bool = False) -> jnp.ndarray:
+                             interpret: bool = False,
+                             out_dtype=jnp.float32) -> jnp.ndarray:
     """Fused interpolate_features: unknown (B, n, 3), known (B, m, 3),
-    known_feats (B, m, C) -> (B, n, C). Requires m % 128 == 0, n % 8 == 0.
-    Semantics = three_nn + 1/(d2+1e-8) weights + weighted gather
+    known_feats (B, m, C) -> (B, n, C) `out_dtype`. Requires m % 128 == 0,
+    n % 8 == 0. Semantics = three_nn + 1/(d2+1e-8) weights + weighted gather
     (interpolate_gpu.cu:9-161, pointnet2_modules.py:138-144)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -324,7 +328,7 @@ def three_interpolate_pallas(unknown: jnp.ndarray, known: jnp.ndarray,
         grid=(B, n // MT),
         in_specs=[qspec, qspec, qspec, pspec, pspec, pspec, fspec],
         out_specs=ospec,
-        out_shape=jax.ShapeDtypeStruct((B, n // MT, MT, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, n // MT, MT, C), out_dtype),
         interpret=interpret,
     )(qx, qy, qz, px, py, pz, known_feats.astype(jnp.float32))
     return out.reshape(B, n, C)

@@ -165,8 +165,14 @@ def crop_for_rcnn_batched(pts_input: jnp.ndarray, scores_norm: jnp.ndarray,
                    else jnp.zeros_like(xyz[..., 0]))
         ch = jnp.stack([xyz[..., 0], xyz[..., 1], xyz[..., 2],
                         reflect, scores_norm], axis=1)       # (B, 5, N)
+        # center_z enables the kernel's z-window fast path (tight when the
+        # caller z-ordered the centers — make_two_stage_fn does; otherwise
+        # the in-graph fits-check falls back to the full kernel, exact
+        # either way)
         (gx, gy, gz, grf, gsn), cnt = crop_gather_pallas(
-            xyz, ch, centers_xz, CROP_RADIUS, num_sampled, grouped=sort_z)
+            xyz, ch, centers_xz, CROP_RADIUS, num_sampled, grouped=sort_z,
+            z_window=48 if sort_z else None,
+            center_z=centers_xz[..., 1] if sort_z else None)
         empty = cnt == 0
         crop_xyz = jnp.stack(
             [gx - centers_xz[..., 0:1], gy,
@@ -327,6 +333,24 @@ def make_two_stage_fn(model, cfg, num_points: int = 512,
                           max_proposals=K)
         centers, prop_scores, valid = jax.vmap(propose)(
             rpn_out["rpn_cls"], rpn_out["rpn_reg"], rpn_out["backbone_xyz"])
+        sort_z = bool(cfg.TPU.get("SORT_POINTS_Z", True))
+        if sort_z:
+            # z-order the proposal slots so the crop kernel's per-program
+            # z-windows are tight (slot order is semantics-free downstream:
+            # compaction selects by score keys, finalize's self-NMS sorts
+            # by predicted IoU). Invalid slots duplicate the running-max
+            # valid center so mixed/trailing programs keep tight windows
+            # and the windowed and full kernels see identical inputs — the
+            # duplicate crops are dropped by `valid` either way.
+            zkey = jnp.where(valid, centers[..., 1], jnp.inf)
+            _, cx, cz, prop_scores, v_s = jax.lax.sort(
+                (zkey, centers[..., 0], centers[..., 1], prop_scores,
+                 valid.astype(jnp.float32)), dimension=1, num_keys=1)
+            valid = v_s > 0.5
+            fx = jax.lax.cummax(jnp.where(valid, cx, -1e6), axis=1)
+            fz = jax.lax.cummax(jnp.where(valid, cz, -1e6), axis=1)
+            centers = jnp.stack([jnp.where(valid, cx, fx),
+                                 jnp.where(valid, cz, fz)], axis=-1)
         scores_norm = jax.nn.sigmoid(rpn_out["rpn_cls"][..., 0])
         crops, empty = crop_for_rcnn_batched(
             pts_input, scores_norm, centers, num_sampled=num_points,
