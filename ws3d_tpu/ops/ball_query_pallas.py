@@ -218,12 +218,28 @@ def _crop_gather_kernel(radius, k, n_total, grouped, C, W,
         jnp.int32, (MT, k, LANE), 2).astype(jnp.float32)
     lane_oh = (l_iota == off[:, :, None]).astype(jnp.float32)
 
-    for c in range(C):
-        rows = jax.lax.dot_general(
-            onehot, ch_at(c), (((2,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)          # (MT, k, 128)
-        out_refs[c][0, 0] = jnp.sum(rows * lane_oh, axis=-1)
+    if W is not None:
+        # flipped contraction: select the member LANE first (one matmul per
+        # channel, output width W), then reduce over the W-tile axis with
+        # the tile one-hot — the per-channel VPU reduce scales with the
+        # window instead of the fixed 128 lanes. Exact: both factors are
+        # one-hot, HIGHEST f32.
+        MTk = onehot.shape[0] * onehot.shape[1]
+        for c in range(C):
+            u = jax.lax.dot_general(
+                lane_oh.reshape(MTk, LANE), ch_at(c),
+                (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)      # (MT*k, W)
+            out_refs[c][0, 0] = jnp.sum(
+                onehot * u.reshape(onehot.shape), axis=-1)
+    else:
+        for c in range(C):
+            rows = jax.lax.dot_general(
+                onehot, ch_at(c), (((2,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)      # (MT, k, 128)
+            out_refs[c][0, 0] = jnp.sum(rows * lane_oh, axis=-1)
     out_refs[C][0, 0] = cnt.astype(jnp.int32)
 
 

@@ -169,9 +169,12 @@ def crop_for_rcnn_batched(pts_input: jnp.ndarray, scores_norm: jnp.ndarray,
         # caller z-ordered the centers — make_two_stage_fn does; otherwise
         # the in-graph fits-check falls back to the full kernel, exact
         # either way)
+        # W=96: the bench-measured per-program window distribution is
+        # min/med/p90/max = 7/25/35/84 of 128 tiles — the fits-gate is
+        # all-or-nothing, so the budget must cover the max
         (gx, gy, gz, grf, gsn), cnt = crop_gather_pallas(
             xyz, ch, centers_xz, CROP_RADIUS, num_sampled, grouped=sort_z,
-            z_window=48 if sort_z else None,
+            z_window=96 if sort_z else None,
             center_z=centers_xz[..., 1] if sort_z else None)
         empty = cnt == 0
         crop_xyz = jnp.stack(
