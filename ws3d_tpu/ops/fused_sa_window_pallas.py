@@ -162,17 +162,19 @@ def _kernel(S, radius, n_layers, n_sub, G, early_exit, qx_ref, qy_ref,
         qx, qy, qz = (qx_ref[g_i, 0], qy_ref[g_i, 0],
                       qz_ref[g_i, 0])                         # (MT, 1)
 
-        # pad-with-first: slots past the in-radius count matched no rank —
-        # copy slot 0's gathered row; fully-empty centers take the GLOBAL
-        # point-0 row
-        g3 = gathered.reshape(MT, S, c0)
+        # pad-with-first: slots past the in-radius count matched no rank, so
+        # their gathered rows are EXACTLY zero (the selector matmul summed
+        # nothing) — an additive fix (add slot-0's row into the zero slots,
+        # add the global point-0 row into fully-empty queries) costs 3
+        # broadcast passes over (MT, S, c0) instead of the 6 a blend-style
+        # `g*m + pad*(1-m)` pays; measured ~1.5 ms across the stage-2 batch.
         # float masks: mosaic can't insert a minor dim on i1 vectors
-        filled = (s_col.astype(jnp.float32)
-                  < count).astype(jnp.float32)[:, :, None]    # (MT, S, 1)
-        g3 = g3 * filled + g3[:, 0:1, :] * (1.0 - filled)
+        g3 = gathered.reshape(MT, S, c0)
+        unfilled = (s_col.astype(jnp.float32)
+                    >= count).astype(jnp.float32)[:, :, None]  # (MT, S, 1)
+        g3 = g3 + g3[:, 0:1, :] * unfilled
         emptyf = (count == 0.0).astype(jnp.float32)[:, :, None]  # (MT, 1, 1)
-        g3 = (g3 * (1.0 - emptyf)
-              + comb_ref[g_i, 0, 0:1, :][None].astype(jnp.float32) * emptyf)
+        g3 = g3 + comb_ref[g_i, 0, 0:1, :][None].astype(jnp.float32) * emptyf
 
         # layer 0: g3 holds [xyz, feats] @ W0; fold the center-subtract into
         # the bias (f32/HIGHEST — the xyz term carries absolute coordinates)
