@@ -165,17 +165,16 @@ def crop_for_rcnn_batched(pts_input: jnp.ndarray, scores_norm: jnp.ndarray,
                    else jnp.zeros_like(xyz[..., 0]))
         ch = jnp.stack([xyz[..., 0], xyz[..., 1], xyz[..., 2],
                         reflect, scores_norm], axis=1)       # (B, 5, N)
-        # center_z enables the kernel's z-window fast path (tight when the
-        # caller z-ordered the centers — make_two_stage_fn does; otherwise
-        # the in-graph fits-check falls back to the full kernel, exact
-        # either way)
-        # W=96: the bench-measured per-program window distribution is
-        # min/med/p90/max = 7/25/35/84 of 128 tiles — the fits-gate is
-        # all-or-nothing, so the budget must cover the max
+        # The kernel's z-window fast path is NOT dispatched: measured SLOWER
+        # at every budget on the fitted bench (full 3.76 ms vs 4.06/4.23/
+        # 4.47 at W=64/96/112) — the per-program dynamic tile slices and
+        # the lax.cond fits-gate cost more than the T->W tensor shrink
+        # saves, because the fits-gate is all-or-nothing and the worst
+        # window is 84 of 128 tiles (median 25). Kept in the kernel with
+        # parity tests as a documented negative result (BENCH.md round 3).
         (gx, gy, gz, grf, gsn), cnt = crop_gather_pallas(
             xyz, ch, centers_xz, CROP_RADIUS, num_sampled, grouped=sort_z,
-            z_window=96 if sort_z else None,
-            center_z=centers_xz[..., 1] if sort_z else None)
+            z_window=None)
         empty = cnt == 0
         crop_xyz = jnp.stack(
             [gx - centers_xz[..., 0:1], gy,
@@ -338,12 +337,13 @@ def make_two_stage_fn(model, cfg, num_points: int = 512,
             rpn_out["rpn_cls"], rpn_out["rpn_reg"], rpn_out["backbone_xyz"])
         sort_z = bool(cfg.TPU.get("SORT_POINTS_Z", True))
         if sort_z:
-            # z-order the proposal slots so the crop kernel's per-program
-            # z-windows are tight (slot order is semantics-free downstream:
-            # compaction selects by score keys, finalize's self-NMS sorts
-            # by predicted IoU). Invalid slots duplicate the running-max
-            # valid center so mixed/trailing programs keep tight windows
-            # and the windowed and full kernels see identical inputs — the
+            # z-order the proposal slots (slot order is semantics-free
+            # downstream: compaction selects by score keys, finalize's
+            # self-NMS sorts by predicted IoU) — keeps the crop kernel's
+            # optional z-window path viable on data where it pays (it does
+            # NOT on the synthetic bench; see crop_for_rcnn_batched).
+            # Invalid slots duplicate the running-max valid center so the
+            # windowed and full kernels see identical inputs — the
             # duplicate crops are dropped by `valid` either way.
             zkey = jnp.where(valid, centers[..., 1], jnp.inf)
             _, cx, cz, prop_scores, v_s = jax.lax.sort(
