@@ -139,8 +139,8 @@ def _crop_gather_kernel(radius, k, n_total, grouped, C, W,
     gather tensors shrink from T to W tiles.
     """
     if W is not None:
-        t0_ref, qx_ref, qz_ref, px_ref, pz_ref, ch_ref = refs[:6]
-        out_refs = refs[6:]
+        t0_ref, q_ref, px_ref, pz_ref, ch_ref = refs[:5]
+        out_refs = refs[5:]
         t0 = t0_ref[0, 0, pl.program_id(1)]
         T = W
         px = px_ref[0, 0, pl.ds(t0, W), :]              # (W, 128)
@@ -149,16 +149,18 @@ def _crop_gather_kernel(radius, k, n_total, grouped, C, W,
         def ch_at(c):
             return ch_ref[0, c, pl.ds(t0, W), :]        # (W, 128)
     else:
-        qx_ref, qz_ref, px_ref, pz_ref, ch_ref = refs[:5]
-        out_refs = refs[5:]
+        q_ref, px_ref, pz_ref, ch_ref = refs[:4]
+        out_refs = refs[4:]
         _, _, T, _ = px_ref.shape
         px, pz = px_ref[0, 0], pz_ref[0, 0]             # (T, 128)
 
         def ch_at(c):
             return ch_ref[0, c]
-    MT = qx_ref.shape[2]
+    MT = q_ref.shape[1]
 
-    qx, qz = qx_ref[0, 0], qz_ref[0, 0]                 # (MT, 1)
+    # centers ride as ONE (MT, 2) block off the (B, M, 2) array
+    q2 = q_ref[0]                                       # (MT, 2)
+    qx, qz = q2[:, 0:1], q2[:, 1:2]                     # (MT, 1)
     dx = qx[:, :, None] - px[None, :, :]
     dz = qz[:, :, None] - pz[None, :, :]
     d2 = dx * dx + dz * dz                              # (MT, T, 128)
@@ -295,11 +297,11 @@ def crop_gather_pallas(xyz: jnp.ndarray, channels: jnp.ndarray,
 
     px = xyz[..., 0].astype(jnp.float32).reshape(B, 1, T, LANE)
     pz = xyz[..., 2].astype(jnp.float32).reshape(B, 1, T, LANE)
-    qx = centers_xz[..., 0].astype(jnp.float32).reshape(B, M // MT, MT, 1)
-    qz = centers_xz[..., 1].astype(jnp.float32).reshape(B, M // MT, MT, 1)
+    q = centers_xz.astype(jnp.float32)                       # (B, M, 2)
     ch = channels.astype(jnp.float32).reshape(B, C, T, LANE)
 
-    qspec = pl.BlockSpec((1, 1, MT, 1), lambda b, m: (b, m, 0, 0),
+    # (1, MT, 2) center blocks straight off (B, M, 2): relayout-free
+    qspec = pl.BlockSpec((1, MT, 2), lambda b, m: (b, m, 0),
                          memory_space=pltpu.VMEM)
     pspec = pl.BlockSpec((1, 1, T, LANE), lambda b, m: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -320,17 +322,17 @@ def crop_gather_pallas(xyz: jnp.ndarray, channels: jnp.ndarray,
     # has 128 MB physical VMEM) — same pattern as fused_sa_window_pallas
     params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
-    def call_full(qx, qz, px, pz, ch):
+    def call_full(q, px, pz, ch):
         return pl.pallas_call(
             functools.partial(_crop_gather_kernel, float(radius), k, N,
                               bool(grouped), C, None),
             grid=(B, M // MT),
-            in_specs=[qspec, qspec, pspec, pspec, chspec],
+            in_specs=[qspec, pspec, pspec, chspec],
             out_specs=out_specs,
             out_shape=out_shapes,
             compiler_params=params,
             interpret=interpret,
-        )(qx, qz, px, pz, ch)
+        )(q, px, pz, ch)
 
     W = None if z_window is None or center_z is None else min(int(z_window), T)
     if W is not None and W < T:
@@ -354,25 +356,25 @@ def crop_gather_pallas(xyz: jnp.ndarray, channels: jnp.ndarray,
         t0spec = pl.BlockSpec((1, 1, M // MT), lambda b, m: (b, 0, 0),
                               memory_space=pltpu.SMEM)
 
-        def call_win(qx, qz, px, pz, ch, t0):
+        def call_win(q, px, pz, ch, t0):
             return pl.pallas_call(
                 functools.partial(_crop_gather_kernel, float(radius), k, N,
                                   bool(grouped), C, W),
                 grid=(B, M // MT),
-                in_specs=[t0spec, qspec, qspec, pspec, pspec, chspec],
+                in_specs=[t0spec, qspec, pspec, pspec, chspec],
                 out_specs=out_specs,
                 out_shape=out_shapes,
                 compiler_params=params,
                 interpret=interpret,
-            )(t0, qx, qz, px, pz, ch)
+            )(t0, q, px, pz, ch)
 
         outs = jax.lax.cond(
             fits,
             lambda a: call_win(*a),
-            lambda a: call_full(*a[:5]),
-            (qx, qz, px, pz, ch, t0))
+            lambda a: call_full(*a[:4]),
+            (q, px, pz, ch, t0))
     else:
-        outs = call_full(qx, qz, px, pz, ch)
+        outs = call_full(q, px, pz, ch)
     vals = tuple(o.reshape(B, M, k) for o in outs[:C])
     cnt = outs[C].reshape(B, M)
     return vals, cnt

@@ -30,7 +30,7 @@ LANE = 128
 
 
 def _kernel(S, radius, n_layers, n_total,
-            qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref, comb_ref,
+            q_ref, px_ref, py_ref, pz_ref, comb_ref,
             w0xyz_ref, *wb_and_out):
     """comb_ref holds the LAYER-0 PRE-ACTIVATIONS comb0 = [xyz, feats] @ W0,
     precomputed per point with one efficient XLA matmul: because layer 0 is
@@ -44,18 +44,20 @@ def _kernel(S, radius, n_layers, n_total,
     b_refs = wb_and_out[n_layers - 1:2 * n_layers - 1]
     out_ref = wb_and_out[2 * n_layers - 1]
 
-    MT = qx_ref.shape[2]
+    MT = q_ref.shape[1]
     T = px_ref.shape[2]
 
-    q = jnp.concatenate([qx_ref[0, 0], qy_ref[0, 0], qz_ref[0, 0]],
-                        axis=1)                              # (MT, 3)
+    # queries arrive as ONE (MT, 3) block straight off the (B, M, 3) array
+    # (the previous three (B, M/MT, MT, 1) planes forced relayout copies)
+    q = q_ref[0]                                             # (MT, 3)
+    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]             # (MT, 1)
     px, py, pz = px_ref[0, 0], py_ref[0, 0], pz_ref[0, 0]    # (T, 128)
     comb = comb_ref[0]                                       # (N, C0)
 
     # squared distances (MT, T, 128) — exact f32 three-pass form
-    dx = qx_ref[0, 0][:, :, None] - px[None, :, :]
-    dy = qy_ref[0, 0][:, :, None] - py[None, :, :]
-    dz = qz_ref[0, 0][:, :, None] - pz[None, :, :]
+    dx = qx[:, :, None] - px[None, :, :]
+    dy = qy[:, :, None] - py[None, :, :]
+    dz = qz[:, :, None] - pz[None, :, :]
     d2 = dx * dx + dy * dy + dz * dz
 
     in_ball = d2 < radius * radius                           # (MT, T, 128)
@@ -242,11 +244,10 @@ def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels,
     px = coord(xyz, 0, (B, 1, T, LANE))
     py = coord(xyz, 1, (B, 1, T, LANE))
     pz = coord(xyz, 2, (B, 1, T, LANE))
-    qx = coord(new_xyz, 0, (B, M // MT, MT, 1))
-    qy = coord(new_xyz, 1, (B, M // MT, MT, 1))
-    qz = coord(new_xyz, 2, (B, M // MT, MT, 1))
+    q = new_xyz[..., :3].astype(jnp.float32)                 # (B, M, 3)
 
-    qspec = pl.BlockSpec((1, 1, MT, 1), lambda b, m: (b, m, 0, 0),
+    # (1, MT, 3) query blocks straight off (B, M, 3): relayout-free
+    qspec = pl.BlockSpec((1, MT, 3), lambda b, m: (b, m, 0),
                          memory_space=pltpu.VMEM)
     pspec = pl.BlockSpec((1, 1, T, LANE), lambda b, m: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -264,12 +265,12 @@ def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels,
     out = pl.pallas_call(
         functools.partial(_kernel, S, float(radius), n_layers, P),
         grid=(B, M // MT),
-        in_specs=[qspec, qspec, qspec, pspec, pspec, pspec, cspec, w0spec]
+        in_specs=[qspec, pspec, pspec, pspec, cspec, w0spec]
                  + wspecs + bspecs,
         out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct((B, M // MT, MT, c_out), jnp.float32),
         interpret=interpret,
-    )(qx, qy, qz, px, py, pz, comb0,
+    )(q, px, py, pz, comb0,
       kernels[0][:3].astype(jnp.float32),
       *[k.astype(jnp.float32) for k in kernels[1:]],
       *[b_.reshape(1, -1).astype(jnp.float32) for b_ in biases])

@@ -41,14 +41,14 @@ from jax.experimental import pallas as pl
 LANE = 128
 
 
-def _kernel(S, radius, n_layers, n_sub, G, early_exit, qx_ref, qy_ref,
-            qz_ref, ts_ref, te_ref, px_ref, py_ref, pz_ref, comb_ref,
+def _kernel(S, radius, n_layers, n_sub, G, early_exit, q_ref, ts_ref,
+            te_ref, px_ref, py_ref, pz_ref, comb_ref,
             w0xyz_ref, *wb_and_out):
     w_refs = wb_and_out[:n_layers - 1]
     b_refs = wb_and_out[n_layers - 1:2 * n_layers - 1]
     out_ref = wb_and_out[2 * n_layers - 1]
 
-    MT = qx_ref.shape[2]
+    MT = q_ref.shape[1]
     MTsub = MT // n_sub
     c0 = comb_ref.shape[3]
 
@@ -76,11 +76,13 @@ def _kernel(S, radius, n_layers, n_sub, G, early_exit, qx_ref, qy_ref,
     # program overhead.
     h_parts = []
     for g_i in range(G):
+        # queries arrive as ONE (MT, 3) block straight off the (B, M, 3)
+        # array (three (B, M/MT, MT, 1) planes forced XLA relayout copies)
+        q3 = q_ref[g_i]                                       # (MT, 3)
         g_parts, cnt_parts = [], []
         for u in range(n_sub):
-            qx = qx_ref[g_i, 0, u * MTsub:(u + 1) * MTsub]    # (MTsub, 1)
-            qy = qy_ref[g_i, 0, u * MTsub:(u + 1) * MTsub]
-            qz = qz_ref[g_i, 0, u * MTsub:(u + 1) * MTsub]
+            qs = q3[u * MTsub:(u + 1) * MTsub]                # (MTsub, 3)
+            qx, qy, qz = qs[:, 0:1], qs[:, 1:2], qs[:, 2:3]
             # ts/te arrive as G batch rows (G, 1, M/MTsub) in SMEM — the
             # full (B, M/MTsub) array SMEM-padded to 128 B/row and blew the
             # 1 MB SMEM budget at B=1024 (trunk crops); pick this subtile's
@@ -159,8 +161,6 @@ def _kernel(S, radius, n_layers, n_sub, G, early_exit, qx_ref, qy_ref,
                     else jnp.concatenate(g_parts, axis=0)).reshape(MT * S, c0)
         count = (cnt_parts[0] if n_sub == 1
                  else jnp.concatenate(cnt_parts, axis=0))     # (MT, 1)
-        qx, qy, qz = (qx_ref[g_i, 0], qy_ref[g_i, 0],
-                      qz_ref[g_i, 0])                         # (MT, 1)
 
         # pad-with-first: slots past the in-radius count matched no rank, so
         # their gathered rows are EXACTLY zero (the selector matmul summed
@@ -178,9 +178,8 @@ def _kernel(S, radius, n_layers, n_sub, G, early_exit, qx_ref, qy_ref,
 
         # layer 0: g3 holds [xyz, feats] @ W0; fold the center-subtract into
         # the bias (f32/HIGHEST — the xyz term carries absolute coordinates)
-        q = jnp.concatenate([qx, qy, qz], axis=1)             # (MT, 3)
         b_eff = b_refs[0][...] - jax.lax.dot_general(
-            q, w0xyz_ref[...], (((1,), (0,)), ((), ())),
+            q3, w0xyz_ref[...], (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)               # (MT, c0)
         h3 = jnp.maximum(g3 + b_eff[:, None, :], 0.0)
@@ -282,11 +281,12 @@ def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels, biases,
     px = coord(xyz, 0, (B, 1, T, LANE))
     py = coord(xyz, 1, (B, 1, T, LANE))
     pz = coord(xyz, 2, (B, 1, T, LANE))
-    qx = coord(new_xyz, 0, (B, M // MT, MT, 1))
-    qy = coord(new_xyz, 1, (B, M // MT, MT, 1))
-    qz = coord(new_xyz, 2, (B, M // MT, MT, 1))
+    q = new_xyz[..., :3].astype(jnp.float32)                   # (B, M, 3)
 
-    qspec = pl.BlockSpec((G, 1, MT, 1), lambda b, m: (b, m, 0, 0),
+    # queries ride as (G, MT, 3) blocks straight off (B, M, 3) — legal
+    # ((MT, 3): 3 == array dim) and relayout-free, unlike the previous
+    # three (B, M/MT, MT, 1) planes
+    qspec = pl.BlockSpec((G, MT, 3), lambda b, m: (b, m, 0),
                          memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec((G, 1, M // MTsub), lambda b, m: (b, 0, 0),
                          memory_space=pltpu.SMEM)
@@ -312,13 +312,13 @@ def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels, biases,
         functools.partial(_kernel, S, float(radius), n_layers, n_sub, G,
                           bool(early_exit)),
         grid=(B // G, M // MT),
-        in_specs=[qspec, qspec, qspec, sspec, sspec, pspec, pspec, pspec,
+        in_specs=[qspec, sspec, sspec, pspec, pspec, pspec,
                   cspec, w0spec] + wspecs + bspecs,
         out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct((B, M // MT, MT, c_out), jnp.float32),
         compiler_params=params,
         interpret=interpret,
-    )(qx, qy, qz, t_start, t_end, px, py, pz,
+    )(q, t_start, t_end, px, py, pz,
       comb0.reshape(B, T, LANE, c0),
       kernels[0][:3].astype(jnp.float32),
       *[k.astype(jnp.float32) for k in kernels[1:]],

@@ -46,17 +46,22 @@ def _kernel(m_total, qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
     idx_ref[0, 0] = jnp.concatenate(outs_i, axis=1)
 
 
-def _interp_kernel(m_total, qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
+def _interp_kernel(m_total, q_ref, px_ref, py_ref, pz_ref,
                    feat_ref, out_ref):
     """Fused 3-NN + inverse-squared-distance interpolation: instead of
     emitting indices (whose 3xC-wide XLA row-gathers dominate FP-stage time,
     ~150 MB of gathered features at FP-1 scale), build the dense weight
     matrix W[u, j] = sum_s w_s * (j == pick_s) in VMEM and interpolate with
-    ONE MXU matmul W @ feats per query tile."""
-    MT = qx_ref.shape[2]
+    ONE MXU matmul W @ feats per query tile.
+
+    Queries arrive as ONE (MT, 3) block straight off the (B, n, 3) array —
+    the previous three (B, n//MT, MT, 1) coordinate planes forced XLA
+    relayout copies (~0.4 ms EACH at FP-0 scale) in front of the call."""
+    MT = q_ref.shape[1]
     m = px_ref.shape[3]
 
-    qx, qy, qz = qx_ref[0, 0], qy_ref[0, 0], qz_ref[0, 0]   # (MT, 1)
+    q3 = q_ref[0]                                           # (MT, 3)
+    qx, qy, qz = q3[:, 0:1], q3[:, 1:2], q3[:, 2:3]         # (MT, 1)
     px, py, pz = px_ref[0, 0], py_ref[0, 0], pz_ref[0, 0]   # (1, m)
 
     dx = qx - px
@@ -308,14 +313,14 @@ def three_interpolate_pallas(unknown: jnp.ndarray, known: jnp.ndarray,
     def coord(a, i):
         return a[..., i].astype(jnp.float32)
 
-    qx = coord(unknown, 0).reshape(B, n // MT, MT, 1)
-    qy = coord(unknown, 1).reshape(B, n // MT, MT, 1)
-    qz = coord(unknown, 2).reshape(B, n // MT, MT, 1)
+    q = unknown[..., :3].astype(jnp.float32)                 # (B, n, 3)
     px = coord(known, 0).reshape(B, 1, 1, m)
     py = coord(known, 1).reshape(B, 1, 1, m)
     pz = coord(known, 2).reshape(B, 1, 1, m)
 
-    qspec = pl.BlockSpec((1, 1, MT, 1), lambda b, i: (b, i, 0, 0),
+    # (1, MT, 3) block straight off the (B, n, 3) array: last dims
+    # (MT, 3) are legal (3 == array dim), no relayout copy in front
+    qspec = pl.BlockSpec((1, MT, 3), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM)
     pspec = pl.BlockSpec((1, 1, 1, m), lambda b, i: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -326,11 +331,11 @@ def three_interpolate_pallas(unknown: jnp.ndarray, known: jnp.ndarray,
     out = pl.pallas_call(
         functools.partial(_interp_kernel, m),
         grid=(B, n // MT),
-        in_specs=[qspec, qspec, qspec, pspec, pspec, pspec, fspec],
+        in_specs=[qspec, pspec, pspec, pspec, fspec],
         out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct((B, n // MT, MT, C), out_dtype),
         interpret=interpret,
-    )(qx, qy, qz, px, py, pz, known_feats.astype(jnp.float32))
+    )(q, px, py, pz, known_feats.astype(jnp.float32))
     return out.reshape(B, n, C)
 
 
