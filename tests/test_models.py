@@ -155,3 +155,35 @@ def test_attention_flag_wires_and_keeps_param_tree(rng):
         assert not np.allclose(np.asarray(outs[0][key]),
                                np.asarray(outs[1][key])), key
         assert np.all(np.isfinite(np.asarray(outs[1][key]))), key
+
+
+def test_fp_layer0_fold_matches_standard():
+    """Eval-time FP layer-0 fold (interp(F) @ W == interp(F @ W) pushed
+    through the knowns) matches the standard SharedMLP application."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ws3d_tpu.models import pointnet2 as p2
+
+    rng = np.random.RandomState(0)
+    B, n, m, C, Cs = 2, 64, 24, 8, 4
+    unknown = jnp.asarray(rng.randn(B, n, 3).astype(np.float32))
+    known = jnp.asarray(rng.randn(B, m, 3).astype(np.float32))
+    kf = jnp.asarray(rng.randn(B, m, C).astype(np.float32))
+    uf = jnp.asarray(rng.randn(B, n, Cs).astype(np.float32))
+
+    mod = p2.PointnetFPModule(mlp=[16, 16], use_bn=True)
+    variables = mod.init(jax.random.PRNGKey(0), unknown, known, uf, kf)
+    # make running stats non-trivial so the BN fold is actually exercised
+    variables = jax.tree_util.tree_map(
+        lambda a: a + 0.1 if a.ndim == 1 else a, variables)
+
+    std = mod.apply(variables, unknown, known, uf, kf, train=False)
+    old = p2.FORCE_FP_FOLD
+    p2.FORCE_FP_FOLD = True
+    try:
+        fold = mod.apply(variables, unknown, known, uf, kf, train=False)
+    finally:
+        p2.FORCE_FP_FOLD = old
+    np.testing.assert_allclose(np.asarray(fold), np.asarray(std),
+                               rtol=1e-4, atol=1e-4)

@@ -22,6 +22,8 @@ from ws3d_tpu.ops.sampling import furthest_point_sample_with_coords
 
 # test hook: force the fused SA path (run in interpret mode off-TPU)
 FORCE_FUSED_INTERPRET = False
+# test hook: force the FP layer-0 fold off-TPU (XLA interpolation)
+FORCE_FP_FOLD = False
 
 
 def folded_mlp_params(mlp, n_layers: int, use_bn: bool):
@@ -213,6 +215,50 @@ class PointnetFPModule(nn.Module):
                  known_feats: jnp.ndarray, train: bool = False,
                  bn_momentum=0.1) -> jnp.ndarray:
         bf16 = self.dtype == jnp.bfloat16
+        mlp = SharedMLP(self.mlp, use_bn=self.use_bn, dtype=self.dtype)
+        from ws3d_tpu.ops.grouping import _use_pallas
+        fold = (known is not None and not train
+                and (FORCE_FP_FOLD
+                     or _use_pallas(known.shape[1], unknown.shape[1])))
+        if fold:
+            # layer-0 fold: interpolation is LINEAR in the features, so
+            # interp(F) @ W0a == interp(F @ W0a). Pushing the first Dense's
+            # interp-rows through the knowns BEFORE interpolation halves
+            # the fused kernel's weight matmul and its output width
+            # (256 -> 128 at FP-0 scale: ~1.4 ms MXU + half the HBM
+            # writes), at the cost of one tiny (m, C)@(C, c0) matmul. The
+            # skip rows apply to unknown_feats outside; BN (inference
+            # running stats) + bias fold into the extracted kernels
+            # (folded_mlp_params). Eval-only: training keeps the standard
+            # SharedMLP application (BN batch stats + identical numerics).
+            cin = known_feats.shape[-1] + (
+                unknown_feats.shape[-1] if unknown_feats is not None else 0)
+            _ = mlp(jnp.zeros((1, 1, cin), jnp.float32), train=False)
+            kernels, biases = folded_mlp_params(mlp, len(self.mlp),
+                                                self.use_bn)
+            ci = known_feats.shape[-1]
+            cast = (lambda a: a.astype(jnp.bfloat16)) if bf16 else (
+                lambda a: a)
+            feats_f = jax.lax.dot_general(
+                cast(known_feats), cast(kernels[0][:ci]),
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (B, m, c0)
+            h = interpolate_features(unknown, known, feats_f,
+                                     chunk=self.nn_chunk,
+                                     sorted_z=self.sorted_points,
+                                     bf16_out=bf16).astype(jnp.float32)
+            if unknown_feats is not None:
+                h = h + jax.lax.dot_general(
+                    cast(unknown_feats), cast(kernels[0][ci:]),
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            h = jnp.maximum(h + biases[0], 0.0)
+            for W, b in zip(kernels[1:], biases[1:]):
+                z = jax.lax.dot_general(
+                    cast(h), cast(W), (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                h = jnp.maximum(z + b, 0.0)
+            return h
         if known is not None:
             # with a bf16 compute dtype the fused kernel emits bf16 directly
             # — the first Dense would cast its input anyway, and the f32
@@ -232,5 +278,4 @@ class PointnetFPModule(nn.Module):
                 interp = interp.astype(jnp.bfloat16)
                 unknown_feats = unknown_feats.astype(jnp.bfloat16)
             interp = jnp.concatenate([interp, unknown_feats], axis=-1)
-        return SharedMLP(self.mlp, use_bn=self.use_bn, dtype=self.dtype)(
-            interp, train=train, bn_momentum=bn_momentum)
+        return mlp(interp, train=train, bn_momentum=bn_momentum)
