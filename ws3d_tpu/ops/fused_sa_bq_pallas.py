@@ -29,7 +29,7 @@ import numpy as np
 LANE = 128
 
 
-def _kernel(S, radius, n_layers, n_total,
+def _kernel(S, radius, n_layers, n_total, G,
             q_ref, px_ref, py_ref, pz_ref, comb_ref,
             w0xyz_ref, *wb_and_out):
     """comb_ref holds the LAYER-0 PRE-ACTIVATIONS comb0 = [xyz, feats] @ W0,
@@ -39,7 +39,13 @@ def _kernel(S, radius, n_layers, n_total,
     makes the selector matmul's output width exactly C0 (no 131 -> 256 lane
     padding, which doubled MXU time) and removes the per-slot layer-0
     matmul. w0xyz_ref = W0[:3] for the bias fold; wb_and_out holds layers
-    1..n_layers-1 kernels then ALL n_layers biases then the output ref."""
+    1..n_layers-1 kernels then ALL n_layers biases then the output ref.
+
+    G > 1 blocks G crops into one program (one-program-per-crop shapes like
+    the stage-2 SA tails: the ~2 us grid switch + iota setup + small
+    post-loop matmuls dominate at 1 crop/program). The per-crop selector
+    section runs statically unrolled per g; the deep MLP runs ONCE on the
+    (G*MT*S, .) concatenation."""
     w_refs = wb_and_out[:n_layers - 1]
     b_refs = wb_and_out[n_layers - 1:2 * n_layers - 1]
     out_ref = wb_and_out[2 * n_layers - 1]
@@ -47,86 +53,95 @@ def _kernel(S, radius, n_layers, n_total,
     MT = q_ref.shape[1]
     T = px_ref.shape[2]
 
-    # queries arrive as ONE (MT, 3) block straight off the (B, M, 3) array
-    # (the previous three (B, M/MT, MT, 1) planes forced relayout copies)
-    q = q_ref[0]                                             # (MT, 3)
-    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]             # (MT, 1)
-    px, py, pz = px_ref[0, 0], py_ref[0, 0], pz_ref[0, 0]    # (T, 128)
-    comb = comb_ref[0]                                       # (N, C0)
-
-    # squared distances (MT, T, 128) — exact f32 three-pass form
-    dx = qx[:, :, None] - px[None, :, :]
-    dy = qy[:, :, None] - py[None, :, :]
-    dz = qz[:, :, None] - pz[None, :, :]
-    d2 = dx * dx + dy * dy + dz * dz
-
-    in_ball = d2 < radius * radius                           # (MT, T, 128)
-    maskf = in_ball.astype(jnp.bfloat16)
-
-    # inclusive prefix within each 128-lane tile (counts <= 128: exact bf16)
+    # shared iotas
     li = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
     lj = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
     L128 = (lj <= li).astype(jnp.bfloat16).T
-    prefix = jax.lax.dot_general(
-        maskf, L128, (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # (MT, T, 128)
-    tile_sum = prefix[..., LANE - 1]                          # (MT, T)
     ti = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
     tj = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
     LT = (tj <= ti).astype(jnp.float32).T
-    tile_end = jax.lax.dot_general(
-        tile_sum, LT, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)                  # (MT, T)
-    tile_base = tile_end - tile_sum
-    count = tile_end[:, T - 1:T]                             # (MT, 1)
-
-    # slot targets with pad-with-first semantics: slot s (0-based) selects
-    # the (s+1)-th in-ball point, or the 1st once past the count
     s_iota = (jax.lax.broadcasted_iota(jnp.int32, (MT, S), 1)
               + 1).astype(jnp.float32)                       # (MT, S)
-    target = jnp.where(s_iota <= count, s_iota, 1.0)         # (MT, S)
 
-    # selector-matmul gather, tile by tile (running global rank). All
-    # matmuls run as (MT*S, .) 2-D shapes — full 128-row MXU occupancy —
-    # with bf16 multiplicands and f32 accumulation (the same numerics XLA's
-    # default-precision einsum uses on TPU).
-    g = None
-    for t in range(T):
-        # in-ball mask folded INTO the rank (0 matches no target, targets
-        # are >= 1): saves a second (MT, S, 128) broadcast + AND on the hot
-        # selector tensor per tile
-        rank_t = jnp.where(in_ball[:, t, :],
-                           prefix[:, t, :] + tile_base[:, t][:, None],
-                           0.0)                              # (MT, 128)
-        sel_t = (rank_t[:, None, :] == target[:, :, None])   # (MT, S, 128)
-        part = jax.lax.dot_general(
-            sel_t.astype(jnp.bfloat16).reshape(MT * S, LANE),
-            comb[t * LANE:(t + 1) * LANE, :].astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (MT*S, Cin)
-        g = part if g is None else g + part
+    h_parts = []
+    for g_i in range(G):
+        # queries arrive as ONE (MT, 3) block straight off the (B, M, 3)
+        # array (three (B, M/MT, MT, 1) planes forced relayout copies)
+        q = q_ref[g_i]                                       # (MT, 3)
+        qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]         # (MT, 1)
+        px, py, pz = (px_ref[g_i, 0], py_ref[g_i, 0],
+                      pz_ref[g_i, 0])                        # (T, 128)
+        comb = comb_ref[g_i]                                 # (N, C0)
 
-    # empty centers gather point 0 (CUDA zero-on-empty -> index 0)
-    empty = (count == 0.0)[:, :, None]                       # (MT, 1, 1)
-    g3 = jnp.where(empty, comb[0:1, :][None].astype(jnp.float32),
-                   g.reshape(MT, S, -1))
+        # squared distances (MT, T, 128) — exact f32 three-pass form
+        dx = qx[:, :, None] - px[None, :, :]
+        dy = qy[:, :, None] - py[None, :, :]
+        dz = qz[:, :, None] - pz[None, :, :]
+        d2 = dx * dx + dy * dy + dz * dz
 
-    # layer 0: g3 already holds [xyz, feats] @ W0; fold the center-subtract
-    # into the bias: b0 - q @ W0[:3]. Kept f32/HIGHEST: q carries absolute
-    # coordinates, and this term cancels against comb0's xyz contribution.
-    # NOTE the cancellation is not bit-exact: the selector gather above
-    # rounds comb0 (which carries the same |xyz|*|W0| magnitude) to bf16,
-    # so ~|xyz|*|W0|*2^-9 rounding survives — comparable to the old
-    # in-kernel bf16 path and measured AP-neutral (BENCH.md round-2 AP
-    # unchanged); keeping THIS term f32 still halves the error and is
-    # one cheap (MT,3)x(3,C0) matmul.
-    b_eff = b_refs[0][...] - jax.lax.dot_general(
-        q, w0xyz_ref[...], (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)                  # (MT, C0)
-    h3 = jnp.maximum(g3 + b_eff[:, None, :], 0.0)            # (MT, S, C0)
-    h = h3.reshape(MT * S, h3.shape[-1])
+        in_ball = d2 < radius * radius                       # (MT, T, 128)
+        maskf = in_ball.astype(jnp.bfloat16)
+
+        # inclusive prefix within each 128-lane tile (counts <= 128:
+        # exact bf16)
+        prefix = jax.lax.dot_general(
+            maskf, L128, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (MT, T, 128)
+        tile_sum = prefix[..., LANE - 1]                      # (MT, T)
+        tile_end = jax.lax.dot_general(
+            tile_sum, LT, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)              # (MT, T)
+        tile_base = tile_end - tile_sum
+        count = tile_end[:, T - 1:T]                         # (MT, 1)
+
+        # slot targets with pad-with-first semantics: slot s (0-based)
+        # selects the (s+1)-th in-ball point, or the 1st once past count
+        target = jnp.where(s_iota <= count, s_iota, 1.0)     # (MT, S)
+
+        # selector-matmul gather, tile by tile (running global rank). All
+        # matmuls run as (MT*S, .) 2-D shapes — full 128-row MXU occupancy
+        # — with bf16 multiplicands and f32 accumulation (the same numerics
+        # XLA's default-precision einsum uses on TPU).
+        g = None
+        for t in range(T):
+            # in-ball mask folded INTO the rank (0 matches no target,
+            # targets are >= 1): saves a second (MT, S, 128) broadcast +
+            # AND on the hot selector tensor per tile
+            rank_t = jnp.where(in_ball[:, t, :],
+                               prefix[:, t, :] + tile_base[:, t][:, None],
+                               0.0)                          # (MT, 128)
+            sel_t = (rank_t[:, None, :] == target[:, :, None])
+            part = jax.lax.dot_general(
+                sel_t.astype(jnp.bfloat16).reshape(MT * S, LANE),
+                comb[t * LANE:(t + 1) * LANE, :].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (MT*S, Cin)
+            g = part if g is None else g + part
+
+        # empty centers gather point 0 (CUDA zero-on-empty -> index 0)
+        empty = (count == 0.0)[:, :, None]                   # (MT, 1, 1)
+        g3 = jnp.where(empty, comb[0:1, :][None].astype(jnp.float32),
+                       g.reshape(MT, S, -1))
+
+        # layer 0: g3 already holds [xyz, feats] @ W0; fold the
+        # center-subtract into the bias: b0 - q @ W0[:3]. Kept f32/HIGHEST:
+        # q carries absolute coordinates, and this term cancels against
+        # comb0's xyz contribution. NOTE the cancellation is not bit-exact:
+        # the selector gather above rounds comb0 (which carries the same
+        # |xyz|*|W0| magnitude) to bf16, so ~|xyz|*|W0|*2^-9 rounding
+        # survives — comparable to the old in-kernel bf16 path and measured
+        # AP-neutral (BENCH.md round-2 AP unchanged); keeping THIS term f32
+        # still halves the error and is one cheap (MT,3)x(3,C0) matmul.
+        b_eff = b_refs[0][...] - jax.lax.dot_general(
+            q, w0xyz_ref[...], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)              # (MT, C0)
+        h3 = jnp.maximum(g3 + b_eff[:, None, :], 0.0)        # (MT, S, C0)
+        h_parts.append(h3.reshape(MT * S, h3.shape[-1]))
+
+    h = h_parts[0] if G == 1 else jnp.concatenate(h_parts, axis=0)
+    GMT = G * MT
     for li_ in range(n_layers - 1):
         W = w_refs[li_][...]
         b = b_refs[li_ + 1][...]
@@ -135,10 +150,12 @@ def _kernel(S, radius, n_layers, n_total,
                                 W.astype(jnp.bfloat16),
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        z3 = jnp.maximum(z.reshape(MT, S, c_out_l) + b[None, :, :], 0.0)
-        h = z3.reshape(MT * S, c_out_l)
+        z3 = jnp.maximum(z.reshape(GMT, S, c_out_l) + b[None, :, :], 0.0)
+        h = z3.reshape(GMT * S, c_out_l)
 
-    out_ref[0, 0] = jnp.max(h.reshape(MT, S, -1), axis=1)    # (MT, Cout)
+    pooled = jnp.max(h.reshape(G, MT, S, -1), axis=2)        # (G, MT, Cout)
+    for g_i in range(G):
+        out_ref[g_i, 0] = pooled[g_i]
 
 
 def _xla_reference(xyz, features, new_xyz, radius, nsample, kernels, biases):
@@ -238,6 +255,18 @@ def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels,
             MT = cand
             break
 
+    # Crop-batch blocking (same rationale as fused_sa_window_pallas): at
+    # one-program-per-crop shapes (stage-2 SA tails, M//MT == 1) the ~2 us
+    # grid switch + iota setup + small post-loop matmuls dominate; block G
+    # crops per program and run the deep MLP once on the (G*MT*S, .)
+    # concatenation. Bounded by a ~32 MB cap on the MLP intermediates.
+    G = 1
+    if M // MT == 1:
+        cmax = max([c0, c_out] + [k.shape[1] for k in kernels])
+        while (G * 2 * MT * S * cmax * 12 <= 32 * 1024 * 1024
+               and B % (G * 2) == 0 and G < 8):
+            G *= 2
+
     def coord(a, i, shape):
         return a[..., i].astype(jnp.float32).reshape(shape)
 
@@ -246,12 +275,12 @@ def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels,
     pz = coord(xyz, 2, (B, 1, T, LANE))
     q = new_xyz[..., :3].astype(jnp.float32)                 # (B, M, 3)
 
-    # (1, MT, 3) query blocks straight off (B, M, 3): relayout-free
-    qspec = pl.BlockSpec((1, MT, 3), lambda b, m: (b, m, 0),
+    # (G, MT, 3) query blocks straight off (B, M, 3): relayout-free
+    qspec = pl.BlockSpec((G, MT, 3), lambda b, m: (b, m, 0),
                          memory_space=pltpu.VMEM)
-    pspec = pl.BlockSpec((1, 1, T, LANE), lambda b, m: (b, 0, 0, 0),
+    pspec = pl.BlockSpec((G, 1, T, LANE), lambda b, m: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((1, P, c0), lambda b, m: (b, 0, 0),
+    cspec = pl.BlockSpec((G, P, c0), lambda b, m: (b, 0, 0),
                          memory_space=pltpu.VMEM)
     w0spec = pl.BlockSpec((3, c0), lambda b, m: (0, 0),
                           memory_space=pltpu.VMEM)
@@ -259,12 +288,12 @@ def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels,
                            memory_space=pltpu.VMEM) for k in kernels[1:]]
     bspecs = [pl.BlockSpec((1, b_.shape[0]), lambda b, m: (0, 0),
                            memory_space=pltpu.VMEM) for b_ in biases]
-    ospec = pl.BlockSpec((1, 1, MT, c_out), lambda b, m: (b, m, 0, 0),
+    ospec = pl.BlockSpec((G, 1, MT, c_out), lambda b, m: (b, m, 0, 0),
                          memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, S, float(radius), n_layers, P),
-        grid=(B, M // MT),
+        functools.partial(_kernel, S, float(radius), n_layers, P, G),
+        grid=(B // G, M // MT),
         in_specs=[qspec, pspec, pspec, pspec, cspec, w0spec]
                  + wspecs + bspecs,
         out_specs=ospec,

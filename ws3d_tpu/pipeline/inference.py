@@ -403,10 +403,19 @@ def make_two_stage_fn(model, cfg, num_points: int = 512,
                                    method=model.ioun_forward)
                 # non-cascaded slots keep the trunk box with iou=-inf:
                 # they failed the cls gate (finalize drops them anyway) or
-                # spilled (counted above)
-                boxes_t = boxes_t.at[sel2].set(casc["refined_box"])
-                iou_t = jnp.full((V,), neg_inf).at[sel2].set(
-                    casc["rcnn_iou"])
+                # spilled (counted above). Scatter-back rides a one-hot
+                # matmul: `.at[sel2].set` lowered to a ~1.6 us/row
+                # dynamic-update-slice chain (0.74 ms at V2=448)
+                onehot2 = (jnp.arange(V)[None, :]
+                           == sel2[:, None]).astype(boxes_t.dtype)  # (V2, V)
+                hit = jnp.sum(onehot2, axis=0)              # (V,) 0/1
+                casc_box = jax.lax.dot_general(
+                    onehot2, casc["refined_box"], (((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST)    # (V, 7)
+                boxes_t = boxes_t * (1.0 - hit[:, None]) + casc_box
+                casc_iou = jnp.sum(onehot2 * casc["rcnn_iou"][:, None],
+                                   axis=0)                  # (V,)
+                iou_t = jnp.where(hit > 0.5, casc_iou, neg_inf)
             else:
                 casc = model.apply(
                     variables, dict(crops_t, pred_boxes3d=boxes_t),
