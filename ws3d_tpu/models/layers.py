@@ -60,6 +60,11 @@ class SharedMLP(nn.Module):
     activation: Optional[Callable] = nn.relu
     kernel_init: Callable = KAIMING
     dtype: Optional[jnp.dtype] = None
+    # keep the compute-dtype output (skip the trailing f32 upcast): for
+    # BN-less bf16 stacks whose consumer casts to bf16 anyway (the stage-2
+    # up/merge chains), the f32 intermediate is a pure HBM round-trip
+    # doubling (268 MB per tensor at 1024x512x128)
+    out_f32: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -72,7 +77,7 @@ class SharedMLP(nn.Module):
                                 momentum=bn_momentum)
             if self.activation is not None:
                 x = self.activation(x)
-        return x.astype(jnp.float32)
+        return x.astype(jnp.float32) if self.out_f32 else x
 
 
 class HeadMLP(nn.Module):

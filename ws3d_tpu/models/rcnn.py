@@ -135,12 +135,18 @@ class RCNNNet(nn.Module):
         # fixed slots. Attribute names reproduce the previous explicit
         # name= strings (flax auto-names list entries with _<index>), so
         # the param tree is unchanged across the refactor.
+        # out_f32=False on the BN-less up/merge chain: the fused-SA comb0
+        # precompute rounds the features to bf16 anyway, and the f32
+        # intermediates were pure HBM round-trip doubling (~1 ms at V=1024)
         self.xyz_up = SharedMLP(list(self.xyz_up_layer), use_bn=self.use_bn,
-                                dtype=self.dtype)
+                                dtype=self.dtype,
+                                out_f32=self.use_bn or self.dtype is None)
         self.feature_up = SharedMLP(list(self.xyz_up_layer),
-                                    use_bn=self.use_bn, dtype=self.dtype)
+                                    use_bn=self.use_bn, dtype=self.dtype,
+                                    out_f32=self.use_bn or self.dtype is None)
         self.merge_down = SharedMLP([self.xyz_up_layer[-1]],
-                                    use_bn=self.use_bn, dtype=self.dtype)
+                                    use_bn=self.use_bn, dtype=self.dtype,
+                                    out_f32=self.use_bn or self.dtype is None)
         self.sa_stack = _SAStack(
             npoints=self.sa_npoints, radius=self.sa_radius,
             nsample=self.sa_nsample, mlps=self.sa_mlps, use_bn=self.use_bn,
@@ -158,14 +164,18 @@ class RCNNNet(nn.Module):
         if not self.ioun_enabled:
             return
         ncas = int(self.cascade)
+        can_f32 = self.ioun_use_bn or self.dtype is None
         self.can_xyz_up = [
-            SharedMLP(list(self.xyz_up_layer), use_bn=self.ioun_use_bn)
+            SharedMLP(list(self.xyz_up_layer), use_bn=self.ioun_use_bn,
+                      dtype=self.dtype, out_f32=can_f32)
             for _ in range(ncas)]
         self.can_feature_up = [
-            SharedMLP(list(self.xyz_up_layer), use_bn=self.ioun_use_bn)
+            SharedMLP(list(self.xyz_up_layer), use_bn=self.ioun_use_bn,
+                      dtype=self.dtype, out_f32=can_f32)
             for _ in range(ncas)]
         self.can_merge_down = [
-            SharedMLP([self.xyz_up_layer[-1]], use_bn=self.ioun_use_bn)
+            SharedMLP([self.xyz_up_layer[-1]], use_bn=self.ioun_use_bn,
+                      dtype=self.dtype, out_f32=can_f32)
             for _ in range(ncas)]
         self.sa_score = [
             _SAStack(npoints=self.ioun_sa_npoints,

@@ -143,8 +143,7 @@ def crop_for_rcnn_batched(pts_input: jnp.ndarray, scores_norm: jnp.ndarray,
     :return: dict(cur_box_point (B, K, S, 3), cur_box_reflect (B, K, S, 1),
                   train_mask (B, K, S, 1)), empty (B, K) bool
     """
-    xyz = pts_input[..., 0:3].at[..., 1].add(-GROUND_Y)
-    B, N = xyz.shape[0], xyz.shape[1]
+    B, N = pts_input.shape[0], pts_input.shape[1]
     K = centers_xz.shape[1]
 
     # Fused crop-gather kernel: the rank search itself is ~1 ms — the old
@@ -161,9 +160,14 @@ def crop_for_rcnn_batched(pts_input: jnp.ndarray, scores_norm: jnp.ndarray,
             use_fused = False
     if use_fused:
         from ws3d_tpu.ops.ball_query_pallas import crop_gather_pallas
+        # y is NOT shifted here: the BEV search ignores it and the gathered
+        # y channel gets the -GROUND_Y shift on the tiny (B, K, S) output —
+        # the full-cloud `.at[..., 1].add` lowered to a 0.72 ms
+        # dynamic-update-slice over (B, N, 3)
         reflect = (pts_input[..., 3] if pts_input.shape[-1] > 3
-                   else jnp.zeros_like(xyz[..., 0]))
-        ch = jnp.stack([xyz[..., 0], xyz[..., 1], xyz[..., 2],
+                   else jnp.zeros_like(pts_input[..., 0]))
+        ch = jnp.stack([pts_input[..., 0], pts_input[..., 1],
+                        pts_input[..., 2],
                         reflect, scores_norm], axis=1)       # (B, 5, N)
         # The kernel's z-window fast path is NOT dispatched: measured SLOWER
         # at every budget on the fitted bench (full 3.76 ms vs 4.06/4.23/
@@ -173,11 +177,11 @@ def crop_for_rcnn_batched(pts_input: jnp.ndarray, scores_norm: jnp.ndarray,
         # window is 84 of 128 tiles (median 25). Kept in the kernel with
         # parity tests as a documented negative result (BENCH.md round 3).
         (gx, gy, gz, grf, gsn), cnt = crop_gather_pallas(
-            xyz, ch, centers_xz, CROP_RADIUS, num_sampled, grouped=sort_z,
-            z_window=None)
+            pts_input[..., 0:3], ch, centers_xz, CROP_RADIUS, num_sampled,
+            grouped=sort_z, z_window=None)
         empty = cnt == 0
         crop_xyz = jnp.stack(
-            [gx - centers_xz[..., 0:1], gy,
+            [gx - centers_xz[..., 0:1], gy - GROUND_Y,
              gz - centers_xz[..., 1:2]], axis=-1)            # (B, K, S, 3)
         crop_reflect = grf[..., None]
         crop_mask = (gsn > 0.5).astype(crop_xyz.dtype)[..., None] - 0.5
@@ -187,6 +191,7 @@ def crop_for_rcnn_batched(pts_input: jnp.ndarray, scores_norm: jnp.ndarray,
                  "train_mask": jnp.where(zero, 0.0, crop_mask)}
         return crops, empty
 
+    xyz = pts_input[..., 0:3].at[..., 1].add(-GROUND_Y)
     idx, empty = _bev_first_k_wrap_batched(xyz, centers_xz, CROP_RADIUS,
                                            num_sampled)
 
