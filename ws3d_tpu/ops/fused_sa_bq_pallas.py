@@ -236,11 +236,15 @@ def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels,
     # -q @ W0[:3] bias fold — bf16 would leak coordinate-magnitude
     # rounding), while the wide feature term runs at the same bf16-multiply
     # numerics the in-kernel layer-0 matmul used before.
+    # STORED bf16: the selector matmul casts comb rows to bf16 anyway, so
+    # gathered values are bit-identical while the (B, P, c0) HBM write +
+    # kernel read halve. Only the empty-center point-0 fill sees the extra
+    # store rounding (empty crops are dropped downstream).
     W0 = kernels[0].astype(jnp.float32)
     comb0 = (jnp.einsum("bnc,cd->bnd", xyz.astype(jnp.float32), W0[:3],
                         precision=jax.lax.Precision.HIGHEST)
              + jnp.einsum("bnc,cd->bnd", features.astype(jnp.float32),
-                          W0[3:]))
+                          W0[3:])).astype(jnp.bfloat16)
 
     # query tile: bound the per-query VMEM working set (d2 + prefix + masks
     # at ~P*12 bytes, plus the gathered/activation rows) to ~6 MB of the
