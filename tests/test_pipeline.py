@@ -319,3 +319,55 @@ def test_two_stage_data_parallel_mesh_matches_single(rng):
     assert len(got.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_finalize_no_size_gate_reference_parity():
+    """eval_active applies NO car-size gate — the reference gates on scores
+    only there (/root/reference/tools/eval_active.py:460-461); the size gate
+    belongs to eval_auto (eval_auto.py:433-436). An out-of-size box must
+    survive with size_gate=False and be dropped with size_gate=True."""
+    K = 8
+    boxes = np.zeros((K, 7), np.float32)
+    boxes[:, 3:6] = [1.5, 1.6, 3.9]
+    boxes[0, 0:3] = [0, 0, 0]
+    boxes[1, 0:3] = [30, 0, 30]
+    boxes[1, 3] = 5.0                  # h outside the (1.1, 2.3) gate
+    cls = np.full(K, 5.0, np.float32)
+    iou = np.array([0.9, 0.8, 0, 0, 0, 0, 0, 0], np.float32)
+    centers = np.zeros((K, 2), np.float32)
+    valid = np.array([1, 1, 0, 0, 0, 0, 0, 0], bool)
+    args = (jnp.asarray(boxes), jnp.asarray(cls), jnp.asarray(iou),
+            jnp.asarray(centers), jnp.asarray(valid))
+    _, _, keep_gated = finalize_detections(*args, size_gate=True)
+    _, _, keep_open = finalize_detections(*args, size_gate=False)
+    assert not bool(keep_gated[1])
+    assert bool(keep_open[1])
+    assert bool(keep_gated[0]) and bool(keep_open[0])
+
+
+def test_eval_active_batch_planning():
+    """plan_batches groups by jit bucket into fixed-size batches (pads by
+    repeating the first scene); pick_v_bucket never drops a live slot."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from eval_active import plan_batches, pick_v_bucket
+
+    keys = [(1024, 128), (1024, 128), (2048, 128), (1024, 128),
+            (1024, 256), (1024, 128)]
+    plan = plan_batches(keys, batch_size=2)
+    # 4 scenes in bucket A -> 2 full batches; 1 each in B and C -> padded
+    assert len(plan) == 4
+    for key, idxs, n_pad in plan:
+        assert len(idxs) == 2
+        assert all(keys[i] == key for i in idxs)
+        if n_pad:
+            assert idxs[-1] == idxs[0]
+    covered = sorted(i for _, idxs, n_pad in plan
+                     for i in idxs[:2 - n_pad])
+    assert covered == list(range(6))
+
+    assert pick_v_bucket(100, 2048) == 128
+    assert pick_v_bucket(129, 2048) == 256
+    assert pick_v_bucket(5000, 8 * 1024) == 8192
+    # never exceeds B*K, falls back to the full slot layout
+    assert pick_v_bucket(300, 256) == 256

@@ -29,6 +29,28 @@ import numpy as np
 LANE = 128
 
 
+def layer0_preact(xyz: jnp.ndarray, features: jnp.ndarray,
+                  W0: jnp.ndarray) -> jnp.ndarray:
+    """Layer-0 pre-activations comb0 = [xyz, feats] @ W0, stored bf16.
+
+    The xyz term is exact f32 FMA (it cancels against the -q @ W0[:3] bias
+    fold inside the fused kernels) but written as explicit broadcast
+    multiply-adds rather than a precision=HIGHEST einsum: the einsum form
+    lowered to its OWN fusion and materialized the full f32 (B, P, c0)
+    intermediate in HBM (537 MB at trunk-SA0/B=32 scale — 1.1 ms write +
+    1.9 ms read in the epilogue, round-4 trace), while elementwise producers
+    fuse into the feature-dot's output fusion so only the bf16 result is
+    ever written. Same f32 products + f32 accumulation, same bf16 store
+    rounding (the selector matmul casts comb rows to bf16 anyway).
+    """
+    W0 = W0.astype(jnp.float32)
+    x32 = xyz.astype(jnp.float32)
+    xyz_term = (x32[..., 0:1] * W0[0] + x32[..., 1:2] * W0[1]
+                + x32[..., 2:3] * W0[2])                     # (B, P, c0)
+    feat = jnp.einsum("bnc,cd->bnd", features.astype(jnp.float32), W0[3:])
+    return (feat + xyz_term).astype(jnp.bfloat16)
+
+
 def _kernel(S, radius, n_layers, n_total, G,
             q_ref, px_ref, py_ref, pz_ref, comb_ref,
             w0xyz_ref, *wb_and_out):
@@ -231,20 +253,10 @@ def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels,
 
     # layer-0 pre-activations per point (XLA matmuls): the selector gather
     # then emits width-c0 rows (no lane-padding waste for ragged 3+C
-    # inputs) and the kernel skips the per-slot layer-0 matmul. Split by
-    # input block: the xyz term must stay exact f32 (it cancels against the
-    # -q @ W0[:3] bias fold — bf16 would leak coordinate-magnitude
-    # rounding), while the wide feature term runs at the same bf16-multiply
-    # numerics the in-kernel layer-0 matmul used before.
-    # STORED bf16: the selector matmul casts comb rows to bf16 anyway, so
-    # gathered values are bit-identical while the (B, P, c0) HBM write +
-    # kernel read halve. Only the empty-center point-0 fill sees the extra
-    # store rounding (empty crops are dropped downstream).
-    W0 = kernels[0].astype(jnp.float32)
-    comb0 = (jnp.einsum("bnc,cd->bnd", xyz.astype(jnp.float32), W0[:3],
-                        precision=jax.lax.Precision.HIGHEST)
-             + jnp.einsum("bnc,cd->bnd", features.astype(jnp.float32),
-                          W0[3:])).astype(jnp.bfloat16)
+    # inputs) and the kernel skips the per-slot layer-0 matmul. See
+    # layer0_preact for the split-by-input-block rationale and the fusion
+    # layout that keeps the f32 intermediate out of HBM.
+    comb0 = layer0_preact(xyz, features, kernels[0])
 
     # query tile: bound the per-query VMEM working set (d2 + prefix + masks
     # at ~P*12 bytes, plus the gathered/activation rows) to ~6 MB of the

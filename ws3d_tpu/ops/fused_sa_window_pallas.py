@@ -215,19 +215,11 @@ def _pallas_forward(xyz, features, new_xyz, radius, nsample, kernels, biases,
     c_out = kernels[-1].shape[1]
     c0 = kernels[0].shape[1]
 
-    # layer-0 pre-activations (see fused_sa_bq_pallas._pallas_forward: the
-    # xyz term stays f32/HIGHEST because it cancels against the -q @ W0[:3]
-    # bias fold; the feature term runs at XLA's default bf16-multiply).
-    # STORED bf16: the selector matmul casts comb rows to bf16 anyway, so
-    # gathered values are bit-identical while the (B, P, c0) HBM write +
-    # kernel read halve (268 MB at trunk-SA0 scale). Only the empty-query
-    # point-0 fill sees the extra store rounding (those crops are dropped
-    # downstream).
-    W0 = kernels[0].astype(jnp.float32)
-    comb0 = (jnp.einsum("bnc,cd->bnd", xyz.astype(jnp.float32), W0[:3],
-                        precision=jax.lax.Precision.HIGHEST)
-             + jnp.einsum("bnc,cd->bnd", features.astype(jnp.float32),
-                          W0[3:])).astype(jnp.bfloat16)
+    # layer-0 pre-activations, stored bf16 (the selector matmul casts comb
+    # rows to bf16 anyway). See fused_sa_bq_pallas.layer0_preact for the
+    # fusion layout that keeps the f32 intermediate out of HBM.
+    from ws3d_tpu.ops.fused_sa_bq_pallas import layer0_preact
+    comb0 = layer0_preact(xyz, features, kernels[0])
 
     # Query-tile size from the VMEM stack budget. The dominant loop-body
     # intermediates are the (MT, S, 128) rank/selector broadcasts (~26
