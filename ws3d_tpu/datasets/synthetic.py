@@ -82,12 +82,26 @@ class SyntheticKitti:
     # (occlusion, truncation) cycle covering easy / moderate / hard gt
     _DIFF_CYCLE = ((0, 0.0), (1, 0.2), (2, 0.45), (0, 0.1), (0, 0.0))
 
+    @staticmethod
+    def _place(rng, placed_xz, draw, min_gap: float = 6.0, tries: int = 25):
+        """Draw (z, x-wedge-halfwidth) via `draw` until the BEV center is at
+        least min_gap from every placed car (6 m > max car diagonal ~4.7 m:
+        real KITTI cars never interpenetrate; overlapping fixtures created
+        merged point blobs whose NMS kill read as false misses)."""
+        for _ in range(tries):
+            z, half = draw()
+            x = rng.uniform(-half, half) * z
+            if all(np.hypot(x - p[0], z - p[1]) >= min_gap for p in placed_xz):
+                break
+        return z, x
+
     def get_scene(self, sample_id: int, with_noise: bool = True) -> KittiScene:
         rng = np.random.RandomState(self.seed * 100003 + sample_id)
         n_cars = rng.randint(1, self.max_cars + 1)
         boxes = []
         classes: List[str] = []
         occ_trunc = []
+        placed_xz: List[np.ndarray] = []
         for k in range(n_cars):
             hwl = CAR_MEAN_HWL * (1 + rng.randn(3) * 0.05)
             cls_name = "Car"
@@ -99,18 +113,27 @@ class SyntheticKitti:
                 # without it the easy bucket (height>=40px needs z<~28 m)
                 # is so small that the official 41-point AP's
                 # thresholds-per-valid-gt cap artificially deflates easy AP
-                z = 8 + 58 * rng.rand() ** 2
-                x = rng.uniform(-0.55, 0.55) * z
+                z, x = self._place(rng, placed_xz,
+                                   lambda: (8 + 58 * rng.rand() ** 2, 0.55))
                 if k > 0 and rng.rand() < 0.25:
                     cls_name = "Van"
                     hwl = hwl * np.array([1.45, 1.15, 1.3], np.float32)
                 occ_trunc.append(
                     self._DIFF_CYCLE[(sample_id + k) % len(self._DIFF_CYCLE)])
             else:
-                x = rng.uniform(-20, 20)
-                z = rng.uniform(8, 60)
+                # keep cars inside the camera FOV wedge (identity calib:
+                # u = 700 x/z + 600 in [0, 1242) -> x/z in [-0.857, 0.917)).
+                # Sampling x uniform in [-20, 20] regardless of z put many
+                # NEAR cars fully outside the frustum: their points are
+                # FOV-cropped (undetectable) yet they counted as valid easy
+                # GT, inverting the AP difficulty ordering (easy < moderate)
+                # — impossible on real KITTI, where labels come from the
+                # image itself.
+                z, x = self._place(rng, placed_xz,
+                                   lambda: (rng.uniform(8, 60), 0.75))
                 occ_trunc.append((0, 0.0))
             ry = rng.uniform(-np.pi, np.pi)
+            placed_xz.append(np.array([x, z]))
             boxes.append(np.array([x, GROUND_Y, z, *hwl, ry], np.float32))
             classes.append(cls_name)
 
@@ -143,6 +166,14 @@ class SyntheticKitti:
             corners = _corners3d_np(b)
             img_boxes, _ = calib.corners3d_to_img_boxes(corners[None])
             box2d = img_boxes[0].astype(np.float32)
+            # KITTI truncation = fraction of the object outside the image
+            # (labels derive from the image): compute it from the projected
+            # box clipped to the 1242x375 frame, so FOV-edge cars leave the
+            # easy bucket exactly as real labels would.
+            area = max((box2d[2] - box2d[0]) * (box2d[3] - box2d[1]), 1e-6)
+            cw = max(min(box2d[2], 1242.0) - max(box2d[0], 0.0), 0.0)
+            ch = max(min(box2d[3], 375.0) - max(box2d[1], 0.0), 0.0)
+            trunc = max(float(trunc), round(1.0 - cw * ch / area, 2))
             obj = Object3d(cls_type=cls_name, trucation=trunc, occlusion=occ,
                            alpha=-np.arctan2(b[0], b[2]) + b[6],
                            box2d=box2d, h=b[3], w=b[4], l=b[5],
