@@ -70,6 +70,47 @@ def shard_batch_multihost(batch: Dict[str, Any], mesh: Mesh,
     return jax.tree.map(put, batch)
 
 
+def data_parallel_step(step, mesh: Mesh, axis: str = "data",
+                       donate_state: bool = True):
+    """shard_map a train step built with axis_name=axis (see
+    make_*_train_step): each device differentiates its batch shard with the
+    Pallas forwards executing per-device — Mosaic custom calls have no SPMD
+    partitioning rule, so the propagation-based path (data_parallel_jit)
+    cannot carry the fused kernels onto a real multi-chip mesh — and the
+    step's internal pmean makes every replica apply the identical update.
+    This is the scaling-book shard_map recipe and the semantic twin of the
+    reference's nn.DataParallel (replica-mean losses/grads,
+    tools/train_rpn.py:175-176)."""
+    from jax.experimental.shard_map import shard_map
+
+    mapped = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(axis), P(), P()),
+        out_specs=(P(), P()),
+        check_rep=False)
+    jfn = jax.jit(mapped, donate_argnums=(0,) if donate_state else ())
+    repl = replicated_sharding(mesh)
+
+    def wrapper(state, batch, rng, bn_momentum):
+        state = jax.device_put(state, repl)   # no-op once resident
+        return jfn(state, batch, rng, bn_momentum)
+
+    return wrapper
+
+
+def data_parallel_infer(fn, mesh: Mesh, axis: str = "data"):
+    """shard_map a pure inference fn(variables, batch) over the data axis:
+    params replicated, scene batch split, every Pallas kernel runs on its
+    own device's shard. Per-scene results are unchanged — the two-stage
+    graph is batch-leading everywhere except the stage-2 compaction, whose
+    batch-pooled top-k only regroups work."""
+    from jax.experimental.shard_map import shard_map
+
+    mapped = shard_map(fn, mesh=mesh, in_specs=(P(), P(axis)),
+                       out_specs=P(axis), check_rep=False)
+    return jax.jit(mapped)
+
+
 def data_parallel_jit(fn, mesh: Mesh, axis: str = "data",
                       donate_state: bool = True):
     """jit `fn(state, batch, *extras)` for data parallelism: the state is

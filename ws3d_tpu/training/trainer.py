@@ -67,9 +67,26 @@ def create_train_state(model, cfg, variables, total_steps: int,
 # Jitted train steps
 # ---------------------------------------------------------------------------
 
-def make_rpn_train_step(model, cfg):
+def _cross_device_mean(grads, new_bs, aux, axis_name):
+    """All-reduce a step's products over the data axis (shard_map path).
+
+    Mean-of-shard gradients/losses is the reference's own data-parallel
+    semantics (nn.DataParallel averages replica losses,
+    tools/train_rpn.py:175-176); BN stats become the mean of per-replica
+    stats (DataParallel does not sync BN at all)."""
+    pm = lambda t: jax.tree.map(lambda x: jax.lax.pmean(x, axis_name), t)
+    return pm(grads), pm(new_bs), pm(aux)
+
+
+def make_rpn_train_step(model, cfg, axis_name: Optional[str] = None):
     """Stage-1 step: focal cls on Gaussian soft labels + bin reg
-    (train_functions.get_rpn_loss:163-228)."""
+    (train_functions.get_rpn_loss:163-228).
+
+    With axis_name set, the step is built for shard_map over a data mesh:
+    each device differentiates its batch shard locally (Pallas forwards stay
+    per-device — Mosaic custom calls are not SPMD-partitionable) and
+    gradients/BN stats/aux are pmean'd over the axis, so every replica
+    applies the identical update."""
     loc_scope = cfg.RPN.LOC_SCOPE
     loc_bin_size = cfg.RPN.LOC_BIN_SIZE
     alpha = cfg.RPN.FOCAL_ALPHA[0]
@@ -89,17 +106,23 @@ def make_rpn_train_step(model, cfg):
         return total, (aux, mut["batch_stats"])
 
     def step(state: TrainState, batch, rng, bn_momentum=0.1):
+        if axis_name is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         (loss, (aux, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
                                    rng, bn_momentum)
-        state = state.apply_gradients(grads).replace(batch_stats=new_bs)
         aux["loss"] = loss
+        if axis_name is not None:
+            grads, new_bs, aux = _cross_device_mean(grads, new_bs, aux,
+                                                    axis_name)
+        state = state.apply_gradients(grads).replace(batch_stats=new_bs)
         return state, aux
 
     return step
 
 
-def make_rcnn_train_step(model, cfg, stage: str = "rcnn"):
+def make_rcnn_train_step(model, cfg, stage: str = "rcnn",
+                         axis_name: Optional[str] = None):
     """Stage-2 step: RCNN (cls+reg+corner) or IOUN (iou+refine) loss
     (train_functions.py:230-516)."""
     anchor = jnp.asarray(cfg.CLS_MEAN_SIZE[0], jnp.float32)
@@ -136,11 +159,16 @@ def make_rcnn_train_step(model, cfg, stage: str = "rcnn"):
         return total, (aux, mut["batch_stats"])
 
     def step(state: TrainState, batch, rng, bn_momentum=0.1):
+        if axis_name is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         (loss, (aux, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
                                    rng, bn_momentum)
-        state = state.apply_gradients(grads).replace(batch_stats=new_bs)
         aux["loss"] = loss
+        if axis_name is not None:
+            grads, new_bs, aux = _cross_device_mean(grads, new_bs, aux,
+                                                    axis_name)
+        state = state.apply_gradients(grads).replace(batch_stats=new_bs)
         return state, aux
 
     return step
@@ -168,13 +196,16 @@ class Trainer:
             from ws3d_tpu.utils.tb import ScalarWriter
             self.writer = ScalarWriter(tb_dir)
         self.bn_sched = bn_momentum_schedule(cfg)
-        step_fn = (make_rpn_train_step(model, cfg) if stage == "rpn"
-                   else make_rcnn_train_step(model, cfg, stage=stage))
+        axis = mesh.axis_names[0] if mesh is not None else None
+        step_fn = (
+            make_rpn_train_step(model, cfg, axis_name=axis)
+            if stage == "rpn"
+            else make_rcnn_train_step(model, cfg, stage=stage,
+                                      axis_name=axis))
         if mesh is not None:
-            from ws3d_tpu.parallel import data_parallel_jit
+            from ws3d_tpu.parallel import data_parallel_step
             self._mesh = mesh
-            self.step_fn = data_parallel_jit(
-                lambda s, b, r, m: step_fn(s, b, r, m), mesh)
+            self.step_fn = data_parallel_step(step_fn, mesh, axis=axis)
         else:
             self._mesh = None
             self.step_fn = jax.jit(step_fn)
