@@ -186,6 +186,7 @@ class RPNDataset:
         self.cfg = cfg
         self.mode = mode
         self.npoints = npoints or cfg.RPN.NUM_POINTS
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
         # cfg.TPU.SORT_POINTS_Z: emit clouds sorted ascending by rect z so
         # backbone neighborhoods are contiguous index windows (the windowed
@@ -210,6 +211,20 @@ class RPNDataset:
 
     def __len__(self):
         return len(self.sample_ids)
+
+    def _eval_rng(self, index: int) -> np.random.RandomState:
+        """EVAL-mode sampling must be a pure function of (seed, sample_id).
+
+        The shared `self.rng` stream makes the 16,384-point subsample — and
+        therefore the detections — depend on CALL HISTORY: the same scene
+        evaluated alone vs. as the 10th sample of a run drew different
+        subsets, and a marginal car flipped detected<->missed purely with
+        the eval batch grouping. TRAIN keeps the stream (it is stochastic
+        by design, matching the reference's np.random use in __getitem__,
+        kitti_rcnn_dataset.py)."""
+        return np.random.RandomState(
+            (self.seed * 100003 + 7919 * int(self.sample_ids[index]) + 1)
+            % (2**31 - 1))
 
     def get_whole_scene(self, index: int,
                         max_points: Optional[int] = None) -> Dict[str, np.ndarray]:
@@ -248,8 +263,8 @@ class RPNDataset:
         n = pts_input.shape[0]
         if max_points is not None:
             if n > max_points:
-                choice = np.sort(self.rng.choice(n, max_points,
-                                                 replace=False))
+                choice = np.sort(self._eval_rng(index).choice(
+                    n, max_points, replace=False))
                 pts_input = pts_input[choice]
                 n = max_points
                 valid = np.ones(max_points, bool)
@@ -299,7 +314,8 @@ class RPNDataset:
                               cfg.PC_AREA_SCOPE if cfg.PC_REDUCE_BY_RANGE else None)
         pts_rect, intensity, depth = pts_rect[ok], intensity[ok], depth[ok]
 
-        choice = sample_npoints(len(pts_rect), self.npoints, depth, self.rng)
+        rng = self.rng if self.mode == "TRAIN" else self._eval_rng(index)
+        choice = sample_npoints(len(pts_rect), self.npoints, depth, rng)
         pts_rect = pts_rect[choice]
         intensity = intensity[choice] - 0.5
 
