@@ -2,6 +2,8 @@
 roundtrip, IOUN freezing, data-parallel step on the 8-device CPU mesh."""
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -219,3 +221,43 @@ def test_rcnn_validator_metrics():
     for key in ("iou_mean", "recall_0.5", "refined_recall_0.7",
                 "iou_pred_mae", "score"):
         assert key in m and np.isfinite(m[key]), (key, m)
+
+
+@pytest.mark.slow
+def test_data_parallel_step_exact_parity_on_identical_shards():
+    """shard_map train-step plumbing is EXACT: with every device fed the
+    identical shard (and dropout off), per-replica grads/BN stats are
+    identical, so the pmean'd update must match the single-device step on
+    that one shard (the nn.DataParallel-replacement claim,
+    /root/reference/tools/train_rpn.py:175-176)."""
+    from ws3d_tpu.parallel import make_mesh, shard_batch, data_parallel_step
+
+    cfg = _tiny_rpn_cfg()
+    cfg.RPN.DP_RATIO = 0.0
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(0))
+    state = create_train_state(model, cfg, variables, total_steps=4)
+    mesh = make_mesh()
+    n = mesh.devices.size
+
+    src = SyntheticKitti(num_scenes=1, points_per_scene=1500, seed=2)
+    ds = RPNDataset(src, cfg, mode="TRAIN", npoints=256)
+    shard0 = next(ds.batches(batch_size=1, steps=1))
+    tiled = {k: np.concatenate([np.asarray(v)] * n) for k, v in shard0.items()}
+
+    rng, mom = jax.random.PRNGKey(1), jnp.float32(0.1)
+    ref_state, ref_aux = jax.jit(make_rpn_train_step(model, cfg))(
+        state, shard0, rng, mom)
+    sharded = data_parallel_step(
+        make_rpn_train_step(model, cfg, axis_name="data"), mesh,
+        donate_state=False)
+    new_state, aux = sharded(state, shard_batch(tiled, mesh), rng, mom)
+
+    np.testing.assert_allclose(float(aux["loss"]), float(ref_aux["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(new_state.params),
+                    jax.tree.leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(new_state.batch_stats),
+                    jax.tree.leaves(ref_state.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -46,6 +46,48 @@ def _loop_jit(step, n):
     return jax.jit(run)
 
 
+def _fwd_loop_jit(loss_fn, n):
+    """Forward-only loop: same loss computation without value_and_grad.
+    The fori carry threads the loss back through a batch perturbation so
+    XLA cannot hoist the body out of the loop."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(state, batch, rng):
+        def body(i, carry):
+            prev = carry
+            key = next(iter(batch))
+            b = dict(batch)
+            b[key] = b[key] + (prev * 1e-30).astype(b[key].dtype)
+            loss, _ = loss_fn(state.params, state.batch_stats, b,
+                              jax.random.fold_in(rng, i), 0.1)
+            return loss.astype(jnp.float32)
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+    return jax.jit(run)
+
+
+def _grad_loop_jit(loss_fn, n):
+    """value_and_grad loop WITHOUT the optimizer update: fwd+bwd cost."""
+    import jax
+    import jax.numpy as jnp
+
+    vg = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def run(state, batch, rng):
+        def body(i, carry):
+            prev = carry
+            key = next(iter(batch))
+            b = dict(batch)
+            b[key] = b[key] + (prev * 1e-30).astype(b[key].dtype)
+            (loss, _), grads = vg(state.params, state.batch_stats, b,
+                                  jax.random.fold_in(rng, i), 0.1)
+            gsum = sum(jnp.sum(jnp.abs(g)).astype(jnp.float32)
+                       for g in jax.tree_util.tree_leaves(grads))
+            return loss.astype(jnp.float32) + gsum * 1e-30
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+    return jax.jit(run)
+
+
 def _timed(fn, state, batch, rng) -> float:
     t0 = time.perf_counter()
     out = np.asarray(fn(state, batch, rng))
@@ -54,15 +96,25 @@ def _timed(fn, state, batch, rng) -> float:
     return dt
 
 
-def _measure(step, state, batch, rng, reps: int):
+def _measure(step, state, batch, rng, reps: int, make_loop=_loop_jit):
     """Amortized seconds/step: n-step jit minus 1-step jit."""
-    f1 = _loop_jit(step, 1)
-    fn = _loop_jit(step, reps)
+    f1 = make_loop(step, 1)
+    fn = make_loop(step, reps)
     _timed(f1, state, batch, rng)          # compile n=1
     _timed(fn, state, batch, rng)          # compile n=reps
     t1 = min(_timed(f1, state, batch, rng) for _ in range(3))
     tn = min(_timed(fn, state, batch, rng) for _ in range(2))
     return (tn - t1) / (reps - 1)
+
+
+def _split(res, loss_fn, state, batch, rng, reps, sec_full):
+    """Add the forward / fwd+bwd / optimizer device-time split."""
+    fwd = _measure(loss_fn, state, batch, rng, reps, make_loop=_fwd_loop_jit)
+    vg = _measure(loss_fn, state, batch, rng, reps, make_loop=_grad_loop_jit)
+    res["fwd_ms"] = round(fwd * 1e3, 2)
+    res["bwd_ms"] = round((vg - fwd) * 1e3, 2)
+    res["optimizer_ms"] = round((sec_full - vg) * 1e3, 2)
+    return res
 
 
 def bench_rpn(args):
@@ -71,7 +123,8 @@ def bench_rpn(args):
     from ws3d_tpu.datasets import SyntheticKitti, RPNDataset
     from ws3d_tpu.models import build_model, init_model
     from ws3d_tpu.training import create_train_state
-    from ws3d_tpu.training.trainer import make_rpn_train_step
+    from ws3d_tpu.training.trainer import (make_rpn_train_step,
+                                           make_rpn_loss_fn)
 
     cfg = load_config(None)
     src = SyntheticKitti(num_scenes=max(args.rpn_batch, 8),
@@ -87,13 +140,18 @@ def bench_rpn(args):
                                stage="rpn")
     step = make_rpn_train_step(model, cfg)
     batch = jax.device_put(batch)
-    sec = _measure(step, state, batch, jax.random.PRNGKey(1), args.reps)
-    return {"stage": "rpn", "batch": args.rpn_batch,
-            "points": int(cfg.RPN.NUM_POINTS),
-            "device_ms_per_step": round(sec * 1e3, 2),
-            "steps_per_sec": round(1.0 / sec, 2),
-            "scenes_per_sec_train": round(args.rpn_batch / sec, 1),
-            "host_ms_per_batch": round(host_s_per_batch * 1e3, 1)}
+    rng = jax.random.PRNGKey(1)
+    sec = _measure(step, state, batch, rng, args.reps)
+    res = {"stage": "rpn", "batch": args.rpn_batch,
+           "points": int(cfg.RPN.NUM_POINTS),
+           "device_ms_per_step": round(sec * 1e3, 2),
+           "steps_per_sec": round(1.0 / sec, 2),
+           "scenes_per_sec_train": round(args.rpn_batch / sec, 1),
+           "host_ms_per_batch": round(host_s_per_batch * 1e3, 1)}
+    if args.split:
+        res = _split(res, make_rpn_loss_fn(model, cfg), state, batch, rng,
+                     args.reps, sec)
+    return res
 
 
 def bench_stage2(args, stage: str):
@@ -103,7 +161,8 @@ def bench_stage2(args, stage: str):
         BoxPlaceDataset, synthetic_proposal_database)
     from ws3d_tpu.models import build_model, init_model
     from ws3d_tpu.training import create_train_state
-    from ws3d_tpu.training.trainer import make_rcnn_train_step
+    from ws3d_tpu.training.trainer import (make_rcnn_train_step,
+                                           make_rcnn_loss_fn)
 
     cfg = load_config(None)
     cfg.RPN.ENABLED = False
@@ -124,13 +183,18 @@ def bench_stage2(args, stage: str):
                                stage=stage)
     step = make_rcnn_train_step(model, cfg, stage=stage)
     batch = jax.device_put(batch)
-    sec = _measure(step, state, batch, jax.random.PRNGKey(1), args.reps)
-    return {"stage": stage, "batch": args.stage2_batch,
-            "points": args.stage2_points,
-            "device_ms_per_step": round(sec * 1e3, 2),
-            "steps_per_sec": round(1.0 / sec, 2),
-            "crops_per_sec_train": round(args.stage2_batch / sec, 1),
-            "host_ms_per_batch": round(host_s_per_batch * 1e3, 1)}
+    rng = jax.random.PRNGKey(1)
+    sec = _measure(step, state, batch, rng, args.reps)
+    res = {"stage": stage, "batch": args.stage2_batch,
+           "points": args.stage2_points,
+           "device_ms_per_step": round(sec * 1e3, 2),
+           "steps_per_sec": round(1.0 / sec, 2),
+           "crops_per_sec_train": round(args.stage2_batch / sec, 1),
+           "host_ms_per_batch": round(host_s_per_batch * 1e3, 1)}
+    if args.split:
+        res = _split(res, make_rcnn_loss_fn(model, cfg, stage=stage), state,
+                     batch, rng, args.reps, sec)
+    return res
 
 
 def main():
@@ -140,6 +204,9 @@ def main():
     p.add_argument("--rpn_batch", type=int, default=25)
     p.add_argument("--stage2_batch", type=int, default=800)
     p.add_argument("--stage2_points", type=int, default=512)
+    p.add_argument("--split", action="store_true",
+                   help="also measure forward-only and fwd+bwd loops for a "
+                        "device-time split (fwd_ms/bwd_ms/optimizer_ms)")
     args = p.parse_args()
 
     for stage in args.stages.split(","):

@@ -78,15 +78,10 @@ def _cross_device_mean(grads, new_bs, aux, axis_name):
     return pm(grads), pm(new_bs), pm(aux)
 
 
-def make_rpn_train_step(model, cfg, axis_name: Optional[str] = None):
-    """Stage-1 step: focal cls on Gaussian soft labels + bin reg
-    (train_functions.get_rpn_loss:163-228).
-
-    With axis_name set, the step is built for shard_map over a data mesh:
-    each device differentiates its batch shard locally (Pallas forwards stay
-    per-device — Mosaic custom calls are not SPMD-partitionable) and
-    gradients/BN stats/aux are pmean'd over the axis, so every replica
-    applies the identical update."""
+def make_rpn_loss_fn(model, cfg):
+    """loss_fn(params, batch_stats, batch, rng, bn_momentum) ->
+    (total, (aux, new_batch_stats)) for the stage-1 step — exposed
+    separately so tools/bench_train.py can time forward vs backward."""
     loc_scope = cfg.RPN.LOC_SCOPE
     loc_bin_size = cfg.RPN.LOC_BIN_SIZE
     alpha = cfg.RPN.FOCAL_ALPHA[0]
@@ -105,6 +100,20 @@ def make_rpn_train_step(model, cfg, axis_name: Optional[str] = None):
             focal_alpha=alpha, focal_gamma=gamma, loss_weights=weights)
         return total, (aux, mut["batch_stats"])
 
+    return loss_fn
+
+
+def make_rpn_train_step(model, cfg, axis_name: Optional[str] = None):
+    """Stage-1 step: focal cls on Gaussian soft labels + bin reg
+    (train_functions.get_rpn_loss:163-228).
+
+    With axis_name set, the step is built for shard_map over a data mesh:
+    each device differentiates its batch shard locally (Pallas forwards stay
+    per-device — Mosaic custom calls are not SPMD-partitionable) and
+    gradients/BN stats/aux are pmean'd over the axis, so every replica
+    applies the identical update."""
+    loss_fn = make_rpn_loss_fn(model, cfg)
+
     def step(state: TrainState, batch, rng, bn_momentum=0.1):
         if axis_name is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
@@ -121,10 +130,8 @@ def make_rpn_train_step(model, cfg, axis_name: Optional[str] = None):
     return step
 
 
-def make_rcnn_train_step(model, cfg, stage: str = "rcnn",
-                         axis_name: Optional[str] = None):
-    """Stage-2 step: RCNN (cls+reg+corner) or IOUN (iou+refine) loss
-    (train_functions.py:230-516)."""
+def make_rcnn_loss_fn(model, cfg, stage: str = "rcnn"):
+    """loss_fn for the stage-2 step (see make_rpn_loss_fn)."""
     anchor = jnp.asarray(cfg.CLS_MEAN_SIZE[0], jnp.float32)
     loc_scope = cfg.RCNN.LOC_SCOPE
     loc_bin_size = cfg.RCNN.LOC_BIN_SIZE
@@ -157,6 +164,15 @@ def make_rcnn_train_step(model, cfg, stage: str = "rcnn",
                 loc_scope=loc_scope, loc_bin_size=loc_bin_size,
                 num_head_bin=num_head_bin, get_xz_fine=xz_fine)
         return total, (aux, mut["batch_stats"])
+
+    return loss_fn
+
+
+def make_rcnn_train_step(model, cfg, stage: str = "rcnn",
+                         axis_name: Optional[str] = None):
+    """Stage-2 step: RCNN (cls+reg+corner) or IOUN (iou+refine) loss
+    (train_functions.py:230-516)."""
+    loss_fn = make_rcnn_loss_fn(model, cfg, stage=stage)
 
     def step(state: TrainState, batch, rng, bn_momentum=0.1):
         if axis_name is not None:
