@@ -27,9 +27,11 @@ import time
 import numpy as np
 
 # scenes per device batch: 32 measured consistently ~+4.5 scenes/sec over
-# 16 (per-batch dispatch/transfer overhead amortizes; device time scales
+# 16, and 64 another +1.4 over 32 (199.5 -> 201.0 round 4; 48 REGRESSED to
+# 195.2 — the 16-sublane-group kernels prefer power-of-two batches);
+# per-batch dispatch/transfer overhead amortizes and device time scales
 # sublinearly on the program-switch-bound kernels). Spill stays 0.
-BATCH = int(os.environ.get("WS3D_BENCH_BATCH", 32))
+BATCH = int(os.environ.get("WS3D_BENCH_BATCH", 64))
 NBUF = 3           # distinct input batches cycled through the run
 WARMUP = 2
 ITERS = 12
