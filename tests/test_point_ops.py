@@ -229,3 +229,38 @@ def test_fused_interpolate_grad_path(rng):
         lambda f: jnp.sum(_interpolate_xla(unknown, known, f)))(feats)
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_xla),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_group_points_custom_vjp_matches_scatter(rng):
+    """The one-hot-matmul backward (C >= 32) and the scatter backward
+    (C < 32) must both equal the plain XLA gather autodiff: same segment
+    sum, different reduction order (HIGHEST-precision matmul on 0/1 rows
+    is exact per-product, so only float reassociation differs)."""
+    from ws3d_tpu.ops.grouping import group_points
+
+    def ref_group(points, idx):
+        return jax.vmap(lambda p, i: p[i])(points, idx)
+
+    for C, chunks in ((40, False), (4, False), (40, True)):
+        N = 64
+        points = jnp.asarray(rng.randn(2, N, C).astype(np.float32))
+        # duplicate indices exercise grad accumulation
+        idx = jnp.asarray(rng.randint(0, N, size=(2, 12, 6)).astype(np.int32))
+        if chunks:
+            import ws3d_tpu.ops.grouping as grouping_mod
+            old = grouping_mod._ONEHOT_BUDGET
+            grouping_mod._ONEHOT_BUDGET = 2 * N * 8  # force multiple chunks
+        try:
+            cot = jnp.asarray(rng.randn(2, 12, 6, C).astype(np.float32))
+            f = lambda p: jnp.sum(group_points(p, idx) * cot)
+            f_ref = lambda p: jnp.sum(ref_group(p, idx) * cot)
+            np.testing.assert_allclose(
+                np.asarray(jax.grad(f)(points)),
+                np.asarray(jax.grad(f_ref)(points)), rtol=1e-5, atol=1e-5)
+            # forward unchanged
+            np.testing.assert_array_equal(
+                np.asarray(group_points(points, idx)),
+                np.asarray(ref_group(points, idx)))
+        finally:
+            if chunks:
+                grouping_mod._ONEHOT_BUDGET = old

@@ -46,6 +46,21 @@ def _loop_jit(step, n):
     return jax.jit(run)
 
 
+def _float_key(batch):
+    """The loop carry must perturb the NETWORK INPUT, not just any float
+    leaf: perturbing a label (e.g. stage-2 `cls`) leaves the whole network
+    forward loop-invariant and XLA hoists it out of the fori_loop — the
+    split then reads fwd_ms ~0 (measured). It must also be a FLOAT leaf:
+    `.astype` rounds the 1e-30 nudge on an int array to 0."""
+    import jax.numpy as jnp
+
+    for k in ("pts_input", "cur_box_point"):
+        if k in batch:
+            return k
+    return next(k for k, v in sorted(batch.items())
+                if jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating))
+
+
 def _fwd_loop_jit(loss_fn, n):
     """Forward-only loop: same loss computation without value_and_grad.
     The fori carry threads the loss back through a batch perturbation so
@@ -54,9 +69,10 @@ def _fwd_loop_jit(loss_fn, n):
     import jax.numpy as jnp
 
     def run(state, batch, rng):
+        key = _float_key(batch)
+
         def body(i, carry):
             prev = carry
-            key = next(iter(batch))
             b = dict(batch)
             b[key] = b[key] + (prev * 1e-30).astype(b[key].dtype)
             loss, _ = loss_fn(state.params, state.batch_stats, b,
@@ -74,9 +90,10 @@ def _grad_loop_jit(loss_fn, n):
     vg = jax.value_and_grad(loss_fn, has_aux=True)
 
     def run(state, batch, rng):
+        key = _float_key(batch)
+
         def body(i, carry):
             prev = carry
-            key = next(iter(batch))
             b = dict(batch)
             b[key] = b[key] + (prev * 1e-30).astype(b[key].dtype)
             (loss, _), grads = vg(state.params, state.batch_stats, b,
@@ -209,12 +226,28 @@ def main():
                         "device-time split (fwd_ms/bwd_ms/optimizer_ms)")
     args = p.parse_args()
 
-    for stage in args.stages.split(","):
-        if stage == "rpn":
-            res = bench_rpn(args)
-        else:
-            res = bench_stage2(args, stage)
-        print(json.dumps(res))
+    stages = args.stages.split(",")
+    if len(stages) > 1:
+        # one subprocess per stage: the stages' jit caches + live buffers
+        # otherwise accumulate in HBM and the third stage's compile OOMs
+        # (measured: rpn,rcnn,ioun --split died allocating an HLO temp)
+        import os
+        import subprocess
+        import sys
+        for stage in stages:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--stages", stage, "--reps", str(args.reps),
+                   "--rpn_batch", str(args.rpn_batch),
+                   "--stage2_batch", str(args.stage2_batch),
+                   "--stage2_points", str(args.stage2_points)]
+            if args.split:
+                cmd.append("--split")
+            subprocess.run(cmd, check=True)
+        return
+
+    stage = stages[0]
+    res = bench_rpn(args) if stage == "rpn" else bench_stage2(args, stage)
+    print(json.dumps(res))
 
 
 if __name__ == "__main__":

@@ -185,8 +185,75 @@ def ball_query(radius: float, nsample: int, xyz: jnp.ndarray,
 
 def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """points (B, N, C), idx (B, M, S) -> (B, M, S, C)
-    (group_points_kernel_fast equivalent, channel-last)."""
+    (group_points_kernel_fast equivalent, channel-last).
+
+    Custom VJP: XLA's TPU lowering of the gather's natural backward (a
+    scatter-add of B*M*S rows) serializes into index-expansion fusions and
+    transposed-layout applies — measured 130+ ms per SA stage in the RCNN
+    train step (800 crops x 256 x 16 x 131). The backward here is a
+    segment-sum expressed as a chunked one-hot matmul (exact 0/1 operand,
+    f32 HIGHEST accumulation): the sum lands on the MXU and the grad-side
+    numerics match the scatter up to float reassociation (same as any
+    reduction-order change). Narrow channels (C < 32) keep the scatter —
+    there the VPU one-hot compares would dominate the tiny matmul
+    (group_points_grad_kernel_fast is the reference twin,
+    pointnet2_lib/src/group_points_gpu.cu:8-40)."""
+    return _group_points(points, idx, points.shape[1])
+
+
+# one-hot chunk buffer budget (elements) for the matmul backward: the
+# (B, CH, N) one-hot is materialized per fori step; 2^25 f32 = 128 MB
+_ONEHOT_BUDGET = 1 << 25
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _group_points(points, idx, n_points):
     return jax.vmap(lambda p, i: p[i])(points, idx)
+
+
+def _group_points_fwd(points, idx, n_points):
+    return _group_points(points, idx, n_points), idx
+
+
+def _group_points_bwd(n_points, idx, g):
+    B, M, S, C = g.shape
+    N = n_points
+    K = M * S
+    if C < 32:
+        dpoints = jnp.zeros((B, N, C), jnp.float32).at[
+            jnp.arange(B)[:, None], idx.reshape(B, K)
+        ].add(g.reshape(B, K, C).astype(jnp.float32))
+        return dpoints.astype(g.dtype), None
+
+    gf = g.reshape(B, K, C).astype(jnp.float32)
+    fidx = idx.reshape(B, K).astype(jnp.int32)
+    ch = max(8, min(K, _ONEHOT_BUDGET // max(B * N, 1) // 8 * 8))
+    n_chunks = -(-K // ch)
+    pad = n_chunks * ch - K
+    if pad:
+        # pad with an out-of-range index: its one-hot row is all zero, so
+        # padded grad rows contribute nothing
+        fidx = jnp.concatenate(
+            [fidx, jnp.full((B, pad), N, jnp.int32)], axis=1)
+        gf = jnp.concatenate([gf, jnp.zeros((B, pad, C), gf.dtype)], axis=1)
+
+    iota_n = jnp.arange(N, dtype=jnp.int32)
+
+    def body(j, acc):
+        sl_idx = jax.lax.dynamic_slice(fidx, (0, j * ch), (B, ch))
+        sl_g = jax.lax.dynamic_slice(gf, (0, j * ch, 0), (B, ch, C))
+        onehot = (sl_idx[:, :, None] == iota_n[None, None, :]).astype(
+            jnp.float32)                                     # (B, ch, N)
+        return acc + jax.lax.dot_general(
+            onehot, sl_g, (((1,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST)             # (B, N, C)
+
+    dpoints = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((B, N, C), jnp.float32))
+    return dpoints.astype(g.dtype), None
+
+
+_group_points.defvjp(_group_points_fwd, _group_points_bwd)
 
 
 def group_with_idx(idx: jnp.ndarray, xyz: jnp.ndarray,
