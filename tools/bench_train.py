@@ -217,7 +217,13 @@ def bench_stage2(args, stage: str):
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--stages", default="rpn,rcnn,ioun")
-    p.add_argument("--reps", type=int, default=8)
+    def _reps(v):
+        # _measure amortizes as (t_n - t_1)/(reps - 1): reps==1 divides by 0
+        n = int(v)
+        if n < 2:
+            raise argparse.ArgumentTypeError("--reps must be >= 2")
+        return n
+    p.add_argument("--reps", type=_reps, default=8)
     p.add_argument("--rpn_batch", type=int, default=25)
     p.add_argument("--stage2_batch", type=int, default=800)
     p.add_argument("--stage2_points", type=int, default=512)

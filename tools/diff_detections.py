@@ -43,19 +43,23 @@ def load_dir(d):
 
 
 def match(a: np.ndarray, b: np.ndarray, tol: float = 2.0):
-    """Greedy nearest-center matching within `tol` metres."""
+    """Greedy global-argmin center matching within `tol` metres: repeatedly
+    pair the closest remaining (i, j) over the masked distance matrix, so
+    earlier pairings never force a nearby detection onto a worse partner
+    (round-4 advisor: row-priority greedy could inflate only_a/only_b when
+    several detections fall within tol of each other)."""
     if not len(a) or not len(b):
         return []
     ca, cb = a[:, 7:10], b[:, 7:10]
     d = np.linalg.norm(ca[:, None] - cb[None], axis=-1)
     pairs = []
-    used_b = set()
-    for i in np.argsort(d.min(axis=1)):
-        j = int(np.argmin(np.where(
-            [jj in used_b for jj in range(len(b))], np.inf, d[i])))
-        if d[i, j] <= tol:
-            pairs.append((i, j))
-            used_b.add(j)
+    for _ in range(min(len(a), len(b))):
+        i, j = np.unravel_index(np.argmin(d), d.shape)
+        if d[i, j] > tol:
+            break
+        pairs.append((int(i), int(j)))
+        d[i, :] = np.inf
+        d[:, j] = np.inf
     return pairs
 
 
