@@ -205,6 +205,11 @@ class SyntheticKitti:
         self.click_noise = click_noise
         self.realistic = realistic
         self.sample_ids = list(range(num_scenes))
+        # scenes are a pure function of (seed, sample_id) — memoize them:
+        # training loops call get_scene per sample per step, and the v2
+        # ray-cast occlusion makes generation ~20 ms/scene on the single
+        # host core (a 96-scene cache is ~30 MB)
+        self._cache: dict = {}
 
     @staticmethod
     def _place(rng, placed_xz, draw, min_gap: float = 6.0, tries: int = 25):
@@ -250,6 +255,16 @@ class SyntheticKitti:
         return 0.55 if self.realistic else 0.75
 
     def get_scene(self, sample_id: int, with_noise: bool = True) -> KittiScene:
+        key = (int(sample_id), bool(with_noise))
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        scene = self._generate(sample_id, with_noise)
+        if len(self._cache) < 4096:
+            self._cache[key] = scene
+        return scene
+
+    def _generate(self, sample_id: int, with_noise: bool) -> KittiScene:
         rng = np.random.RandomState(self.seed * 100003 + sample_id)
         n_cars = rng.randint(1, self.max_cars + 1)
 
