@@ -110,6 +110,9 @@ def main():
     p.add_argument("--batch", type=int, default=8,
                    help="scenes per device batch")
     p.add_argument("--no_ap", action="store_true")
+    p.add_argument("--bench_weights", action="store_true",
+                   help="overlay ws3d_tpu/data/bench_weights.npz (the "
+                        "fitted weights bench.py measures with)")
     args = p.parse_args()
     cfg, log = setup(args)
     cfg.RCNN.ENABLED = True
@@ -133,6 +136,13 @@ def main():
         variables = load_part_checkpoint(variables, args.ckpt,
                                          subtrees=("rcnn",))
         log.info("loaded ckpt %s", args.ckpt)
+    if args.bench_weights:
+        from ws3d_tpu.utils.npz_overlay import overlay_flat_npz
+        wpath = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "ws3d_tpu", "data",
+            "bench_weights.npz")
+        variables, o, t = overlay_flat_npz(variables, wpath)
+        log.info("overlaid fitted bench weights (%d/%d leaves)", o, t)
 
     variables = jax.device_put(variables)   # pin once: restored ckpts are host numpy
 

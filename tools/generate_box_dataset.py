@@ -52,8 +52,8 @@ def main():
     import jax
     import jax.numpy as jnp
     from ws3d_tpu.datasets import RPNDataset
+    from ws3d_tpu.datasets.rpn_dataset import points_in_rotated_boxes_np
     from ws3d_tpu.models import build_model, init_model
-    from ws3d_tpu.ops.boxes import points_in_rotated_boxes
     from ws3d_tpu.pipeline.inference import rpn_propose, crop_membership
     from ws3d_tpu.training.checkpoint import load_part_checkpoint
 
@@ -143,8 +143,10 @@ def main():
                 gt_box[2] -= center[2]
                 big = gt_box.copy()
                 big[3:6] *= 1.2          # dim-scaled in_hull (:236-240)
-                inb = np.asarray(points_in_rotated_boxes(
-                    jnp.asarray(crop_pts), jnp.asarray(big[None])))[:, 0]
+                # host NumPy twin — the jnp version here was an EAGER
+                # per-proposal dispatch over the TPU tunnel (~1 s each,
+                # ~80 s/scene; CLAUDE.md eager-dispatch pathology)
+                inb = points_in_rotated_boxes_np(crop_pts, big[None])[:, 0]
                 gt_mask = inb.astype(np.float32)
 
             database.append({
