@@ -109,6 +109,16 @@ def main():
     p.add_argument("--scenes", type=int, default=16)
     p.add_argument("--batch", type=int, default=8,
                    help="scenes per device batch")
+    p.add_argument("--max_points", type=int, default=16384,
+                   help="deterministic per-scene point cap (same pure "
+                        "(seed, sample_id) subsample policy as the eval "
+                        "loader, rpn_dataset.py:_eval_rng); 0 = no cap. "
+                        "Dense scenes otherwise promote to the 32768-point "
+                        "jit bucket, which doubles compiles and at "
+                        "(32768 pts x 256 slots) triggers a TPU-worker "
+                        "fault in the fused crop+net+finalize program "
+                        "(BENCH.md round 5 — finalize is split into its "
+                        "own jit below for the same reason)")
     p.add_argument("--no_ap", action="store_true")
     p.add_argument("--bench_weights", action="store_true",
                    help="overlay ws3d_tpu/data/bench_weights.npz (the "
@@ -149,9 +159,18 @@ def main():
     @partial(jax.jit, static_argnums=(4,))
     def infer_batch(pts, scores_norm, centers, valid, V):
         """pts (B, N, 4), scores_norm (B, N), centers (B, K, 2),
-        valid (B, K) -> packed (B, K, 9). V: static live-slot budget —
-        the live crops of the whole batch are pooled and only the top-V
-        (V >= live count, host-checked) run the stage-2 net."""
+        valid (B, K) -> (boxes_f (B, K, 7), cls_f (B, K), iou_f (B, K),
+        live (B, K)). V: static live-slot budget — the live crops of the
+        whole batch are pooled and only the top-V (V >= live count,
+        host-checked) run the stage-2 net.
+
+        NOTE finalize/self-NMS runs in a SEPARATE jit (finalize_batch):
+        fusing it into this program crashes the TPU worker at the
+        (N=32768, K=256) bucket (reproduced 3x, finalize-alone and
+        crop+net-alone both pass — an XLA/Mosaic program-composition
+        fault, journaled in BENCH.md round 5). Two dispatches per batch
+        add only host-side queueing; the drain still transfers one packed
+        array per batch."""
         B, K = centers.shape[0], centers.shape[1]
         crops, empty = crop_for_rcnn_batched(pts, scores_norm, centers)
         live = valid & ~empty
@@ -187,6 +206,11 @@ def main():
                               neg_inf)
         else:
             boxes_f, cls_f, iou_f = boxes_c, cls_c, iou_c
+        return (boxes_f.reshape(B, K, 7), cls_f.reshape(B, K),
+                iou_f.reshape(B, K), live)
+
+    @jax.jit
+    def finalize_batch(boxes_f, cls_f, iou_f, centers, live):
         # reference eval_active gates on scores ONLY (eval_active.py:460-461)
         # — no car-size gate (that belongs to eval_auto.py:433-436)
         finalize = partial(finalize_detections,
@@ -194,8 +218,7 @@ def main():
                            iou_thresh=cfg.IOUN.SCORE_THRESH,
                            size_gate=False)
         boxes, scores, keep = jax.vmap(finalize)(
-            boxes_f.reshape(B, K, 7), cls_f.reshape(B, K),
-            iou_f.reshape(B, K), centers, live)
+            boxes_f, cls_f, iou_f, centers, live)
         return jnp.concatenate(
             [boxes, scores[..., None], keep[..., None].astype(boxes.dtype)],
             axis=-1)
@@ -208,7 +231,18 @@ def main():
         clicks = objs_to_boxes3d(
             [o for o in scene.noise_labels if o.cls_type in ("Car", "Van")])
         pts_rect = scene.pts_rect
-        pts = np.hstack([pts_rect, scene.pts_intensity[:, None] - 0.5])
+        intensity = scene.pts_intensity
+        if args.max_points and pts_rect.shape[0] > args.max_points:
+            # pure function of (seed, sample_id) — call-history invariant
+            # (rpn_dataset.py:_eval_rng); index-sorted to keep the scene
+            # z-order the grouped crop kernel requires
+            rs = np.random.RandomState(
+                (args.seed * 100003 + 7919 * int(scene.sample_id) + 1)
+                % (2**31 - 1))
+            sel = np.sort(rs.choice(pts_rect.shape[0], args.max_points,
+                                    replace=False))
+            pts_rect, intensity = pts_rect[sel], intensity[sel]
+        pts = np.hstack([pts_rect, intensity[:, None] - 0.5])
         # bucket-pad the point count so jit compiles O(log N) variants, not
         # one per scene; sentinel points sit far outside any crop radius
         n_pad = 1 << max(int(np.ceil(np.log2(max(pts.shape[0], 1024)))), 10)
@@ -248,13 +282,19 @@ def main():
         if n_pad_scenes:
             valid_np[len(idxs) - n_pad_scenes:] = False
         V = pick_v_bucket(int(valid_np.sum()), valid_np.size)
-        packed = infer_batch(pts_b, sc_b, hyp_b, jnp.asarray(valid_np), V)
+        boxes_f, cls_f, iou_f, live = infer_batch(
+            pts_b, sc_b, hyp_b, jnp.asarray(valid_np), V)
+        packed = finalize_batch(boxes_f, cls_f, iou_f, hyp_b, live)
         pending.append((idxs[:args.batch - n_pad_scenes], packed))
+    # drain device work first (dispatch-all above overlaps compute with
+    # these transfers), THEN do the per-scene host dump/tally — the split
+    # separates device+transfer throughput from host postprocessing
+    drained = [(idxs, np.asarray(packed_fut)) for idxs, packed_fut in pending]
+    t_dev = time.perf_counter() - t0
     from ws3d_tpu.eval.recall import RecallTally
     tally = RecallTally()
     n_boxes = 0
-    for idxs, packed_fut in pending:
-        packed = np.asarray(packed_fut)          # ONE transfer per batch
+    for idxs, packed in drained:
         for j, i in enumerate(idxs):
             boxes, scores_out = packed[j, :, 0:7], packed[j, :, 7]
             keep = packed[j, :, 8] > 0.5
@@ -267,9 +307,11 @@ def main():
                  if o.cls_type in ("Car", "Van")])
             tally.update(boxes[keep], gt_boxes)
     dt = time.perf_counter() - t0
-    log.info("%d scenes (%d with clicks) in %.2fs = %.1f scenes/sec, "
-             "%d batches, %d boxes", args.scenes, len(live_idx), dt,
-             args.scenes / dt, len(plan), n_boxes)
+    log.info("%d scenes (%d with clicks) in %.2fs = %.1f scenes/sec "
+             "(device+transfer %.2fs = %.1f scenes/sec; host dump/tally "
+             "%.2fs), %d batches, %d boxes", args.scenes, len(live_idx), dt,
+             args.scenes / dt, t_dev, args.scenes / t_dev, dt - t_dev,
+             len(plan), n_boxes)
 
     # clickless scenes still get an (empty) dump for the AP harness
     gt_frames, dt_paths = [], []
