@@ -182,14 +182,29 @@ def _kernel(S, radius, n_layers, n_total, G,
 
 def _xla_reference(xyz, features, new_xyz, radius, nsample, kernels, biases):
     """Unfused composition (ball query + group + dense stack + max) — the
-    backward path and the golden reference in tests."""
+    golden reference in tests."""
     from ws3d_tpu.ops.grouping import query_and_group
-    # force_xla: this composition runs inside the custom_vjp backward and
-    # is linearized w.r.t. the coordinates — the Pallas ball query has no
-    # autodiff rule and would crash training (int indices have zero
-    # tangent, so the XLA path's gradient is identical)
+    # force_xla: this composition must be traceable under autodiff — the
+    # Pallas ball query has no autodiff rule
     h = query_and_group(float(radius), int(nsample), xyz, new_xyz, features,
                         use_xyz=True, force_xla=True)
+    for k, b in zip(kernels, biases):
+        h = jnp.maximum(jnp.einsum("bmsc,cd->bmsd", h, k) + b, 0.0)
+    return jnp.max(h, axis=2)
+
+
+def _mlp_from_idx(idx, xyz, features, new_xyz, kernels, biases):
+    """Grouping + MLP + max-pool with the ball-query indices held CONSTANT.
+
+    The backward linearizes THIS function: indices are int (zero tangent)
+    in the reference's autograd too (group_points_gpu.cu backward scatters
+    through fixed indices), so hoisting the index computation out of the
+    vjp changes no gradient — but it removes the XLA ball query's
+    rank-search (its per-(row,slot) tile gathers measured ~40 ms/stage at
+    trunk training shapes) from every backward pass; the hoisted call uses
+    the fast Pallas kernel instead."""
+    from ws3d_tpu.ops.grouping import group_with_idx
+    h = group_with_idx(idx, xyz, new_xyz, features, use_xyz=True)
     for k, b in zip(kernels, biases):
         h = jnp.maximum(jnp.einsum("bmsc,cd->bmsd", h, k) + b, 0.0)
     return jnp.max(h, axis=2)
@@ -211,9 +226,11 @@ def _fused_fwd(xyz, features, new_xyz, radius, nsample, kernels, biases,
 
 def _fused_bwd(radius, nsample, interpret, res, gout):
     xyz, features, new_xyz, kernels, biases = res
+    from ws3d_tpu.ops.grouping import ball_query
+    idx = jax.lax.stop_gradient(
+        ball_query(float(radius), int(nsample), xyz, new_xyz))
     _, vjp = jax.vjp(
-        lambda x, f, q, ks, bs: _xla_reference(x, f, q, radius, nsample,
-                                               ks, bs),
+        lambda x, f, q, ks, bs: _mlp_from_idx(idx, x, f, q, ks, bs),
         xyz, features, new_xyz, tuple(kernels), tuple(biases))
     dx, df, dq, dks, dbs = vjp(gout)
     return dx, df, dq, dks, dbs
